@@ -1,0 +1,212 @@
+"""Ray-scene intersection kernels (the hot loop).
+
+The reference iterates scene objects in an outer loop and rays in an inner
+scalar loop with an active-index list (src/Geometry.cpp:34-178,
+src/Render.cpp:110-150). TPU-native inversion: rays are the vectorized lane
+dimension (the whole wavefront advances at once on the VPU), objects are a
+compile-time-unrolled scan carrying the running closest hit, and the active
+list becomes a boolean mask (stream compaction is an anti-pattern under XLA's
+static shapes).
+
+Quirk-compatibility notes (each biases results and is reproduced):
+  * degenerate rays (|d| componentwise < RayEpsilon) never hit
+    (Geometry.cpp:67-70,145-148);
+  * closest-hit updates on a strict `best_t > t` comparison
+    (Geometry.cpp:97,169), spheres tested before planes (Render.cpp:115-140);
+  * negative roots are mapped to +inf before the near/far min
+    (Geometry.cpp:91-95);
+  * plane rays parallel to the plane miss unless the origin is exactly the
+    plane's anchor point, in which case t = 0 (Geometry.cpp:154-159);
+  * finite plane extents are tested against the tangent basis of the plane
+    normal: |(p - anchor) . T| * 2 > width => miss (Geometry.cpp:165-168).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .math.vec import (
+    Vec3,
+    construct_basis,
+    dot,
+    is_almost_zero,
+    mag2,
+    normalize,
+    ray_at,
+)
+from .scene.compile import SceneArrays
+
+Array = jnp.ndarray
+
+INF = jnp.inf
+
+
+class Hit(NamedTuple):
+    """Closest-hit record for a wavefront of rays (IntersectionData analog,
+    Geometry.hpp:7-19): t, position, shading normal, material id, hit mask."""
+
+    t: Array
+    position: Vec3
+    normal: Vec3
+    material: Array
+    hit: Array  # bool: t < inf
+
+
+def _empty_hit(shape) -> Hit:
+    zeros = jnp.zeros(shape, jnp.float32)
+    return Hit(
+        t=jnp.full(shape, INF, jnp.float32),
+        position=Vec3(zeros, zeros, zeros),
+        normal=Vec3(zeros, zeros, zeros),
+        material=jnp.zeros(shape, jnp.int32),
+        hit=jnp.zeros(shape, bool),
+    )
+
+
+def _degenerate(d: Vec3) -> Array:
+    """The reference's bogus-ray guard: every component almost zero."""
+    return is_almost_zero(d.x) & is_almost_zero(d.y) & is_almost_zero(d.z)
+
+
+def _update_closest(best: Hit, t: Array, p: Vec3, n: Vec3, material: Array, valid: Array) -> Hit:
+    closer = valid & (best.t > t)
+    return Hit(
+        t=jnp.where(closer, t, best.t),
+        position=Vec3(
+            jnp.where(closer, p.x, best.position.x),
+            jnp.where(closer, p.y, best.position.y),
+            jnp.where(closer, p.z, best.position.z),
+        ),
+        normal=Vec3(
+            jnp.where(closer, n.x, best.normal.x),
+            jnp.where(closer, n.y, best.normal.y),
+            jnp.where(closer, n.z, best.normal.z),
+        ),
+        material=jnp.where(closer, material, best.material),
+        hit=best.hit | closer,
+    )
+
+
+def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
+    """Ray/sphere quadratic (Geometry.cpp:50-106): nearest positive root.
+
+    Supports non-normalized directions (A = d.d). Returns (t, p, n, valid)
+    where t = +inf on miss.
+    """
+    rel = o - center
+    a = mag2(d)
+    b = dot(rel, d)
+    c = mag2(rel)
+
+    u = 2.0 * b / a
+    v = (c - radius * radius) / a
+
+    disc = -v + (u * u) / 4.0
+    has_root = disc >= 0.0
+    shift = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -u / 2.0 - shift
+    t1 = -u / 2.0 + shift
+    t0 = jnp.where(t0 < 0.0, INF, t0)
+    t1 = jnp.where(t1 < 0.0, INF, t1)
+    t = jnp.minimum(t0, t1)
+
+    valid = has_root & ~_degenerate(d) & jnp.isfinite(t)
+    t = jnp.where(valid, t, INF)
+    p = ray_at(o, d, jnp.where(valid, t, 0.0))
+    n = normalize(p - center)
+    return t, p, n, valid
+
+
+def plane_candidate(
+    o: Vec3, d: Vec3, normal: Vec3, point: Vec3, width: Array, height: Array
+):
+    """Ray/finite-rectangle intersection (Geometry.cpp:128-176)."""
+    diff = o - point
+    a = -dot(diff, normal)
+    b = dot(d, normal)
+
+    origin_on_anchor = (diff.x == 0.0) & (diff.y == 0.0) & (diff.z == 0.0)
+    b_zero = is_almost_zero(b)
+    # Parallel ray away from the anchor point: miss (Geometry.cpp:154).
+    parallel_miss = ~origin_on_anchor & b_zero
+
+    safe_b = jnp.where(b_zero, 1.0, b)
+    t = jnp.where(b_zero, 0.0, a / safe_b)
+    backward = t < 0.0
+
+    p = ray_at(o, d, t)
+    basis = construct_basis(normal)
+    in_plane = p - point
+    outside = (jnp.abs(dot(in_plane, basis.t)) * 2.0 > width) | (
+        jnp.abs(dot(in_plane, basis.b)) * 2.0 > height
+    )
+
+    valid = ~_degenerate(d) & ~parallel_miss & ~backward & ~outside
+    t = jnp.where(valid, t, INF)
+    return t, p, normal, valid
+
+
+def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
+    """Closest hit against all spheres then all planes (Render.cpp:110-150).
+
+    Object loops are unrolled lax.scans over the stacked tables: each step is
+    pure elementwise VPU work over the whole wavefront, carrying the running
+    best hit. Zero-length tables scan zero times (empty scenes are legal,
+    matching tests/test_Scene.cpp:24-31).
+    """
+    shape = o.x.shape
+    best = _empty_hit(shape)
+
+    def sphere_step(best: Hit, params):
+        center_x, center_y, center_z, radius, material = params
+        center = Vec3(center_x, center_y, center_z)
+        t, p, n, valid = sphere_candidate(o, d, center, radius)
+        return _update_closest(best, t, p, n, material, valid), None
+
+    best, _ = jax.lax.scan(
+        sphere_step,
+        best,
+        (
+            scene.sphere_center.x,
+            scene.sphere_center.y,
+            scene.sphere_center.z,
+            scene.sphere_radius,
+            scene.sphere_material,
+        ),
+        unroll=True,
+    )
+
+    def plane_step(best: Hit, params):
+        nx, ny, nz, px, py, pz, width, height, material = params
+        normal = Vec3(nx, ny, nz)
+        point = Vec3(px, py, pz)
+        t, p, n, valid = plane_candidate(o, d, normal, point, width, height)
+        # n is the scalar per-plane normal; broadcast to the wavefront shape.
+        n = Vec3(
+            jnp.broadcast_to(n.x, shape),
+            jnp.broadcast_to(n.y, shape),
+            jnp.broadcast_to(n.z, shape),
+        )
+        return _update_closest(best, t, p, n, material, valid), None
+
+    best, _ = jax.lax.scan(
+        plane_step,
+        best,
+        (
+            scene.plane_normal.x,
+            scene.plane_normal.y,
+            scene.plane_normal.z,
+            scene.plane_point.x,
+            scene.plane_point.y,
+            scene.plane_point.z,
+            scene.plane_width,
+            scene.plane_height,
+            scene.plane_material,
+        ),
+        unroll=True,
+    )
+
+    return best

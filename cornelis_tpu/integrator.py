@@ -1,0 +1,207 @@
+"""Wavefront path-tracing integrator.
+
+The reference's per-pixel bounce loop (src/Render.cpp:220-255) -- RayBatch
+SoA, active-index compaction, unbounded Russian-roulette-terminated depth --
+becomes a single `lax.while_loop` over the whole wavefront with a boolean
+active mask and a max-depth safety bound. Dead lanes are masked, not
+compacted: XLA wants static shapes, and RR (aggressive after depth 3,
+Render.cpp:153-165) keeps the wasted-lane fraction small.
+
+Replicated integrator semantics (each affects the image mean):
+  * emission is accumulated at *every* hit, weighted by throughput -- there
+    is no next-event estimation / light sampling / MIS (Render.cpp:187);
+  * rays that miss everything die without any environment contribution
+    (activeList rebuild on t < inf, Render.cpp:143-149);
+  * Russian roulette: survival 0.99 for depth < 3, else
+    0.55 * clamp(mag2(throughput), 0.05/0.55, 0.99); the kill test draws one
+    uniform and kills when prob < u (Render.cpp:153-165,189);
+  * bounce origin offset: P + wi * 1e-4 (Render.cpp:207);
+  * throughput *= f * |wi . N| / (pdf * prob) with the layered-averaged pdf
+    (Render.cpp:210-213);
+  * pixel estimate = mean of per-sample radiance (0.5-radius box filter,
+    Render.cpp:245-251).
+
+RNG: stateless, keyed by global ray id + bounce stream -- results are
+invariant to chunking and device mesh shape (see rng.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .camera import generate_rays
+from .geometry import intersect_scene
+from .materials import emission, gather_materials, layered_sample
+from .math.vec import RGB, Vec3, construct_basis, dot, mag2, ray_at, where
+from .rng import STREAM_BOUNCE_BASE, STREAM_CAMERA, ray_keys, ray_uniforms
+from .scene.compile import SceneArrays
+
+Array = jnp.ndarray
+
+# Russian-roulette constants (Render.cpp:153-165).
+RR_BASE = 0.55
+RR_YOUNG_SURVIVAL = 0.99
+RR_YOUNG_DEPTH = 3
+RR_CLAMP_LO = 0.05 / RR_BASE
+RR_CLAMP_HI = 0.99
+
+# Bounce-origin offset (Render.cpp:207).
+BOUNCE_EPSILON = 1e-4
+
+
+class PathState(NamedTuple):
+    """Wavefront state carried through the bounce loop (RayBatch analog,
+    Render.cpp:47-82, plus the loop counter)."""
+
+    origin: Vec3
+    direction: Vec3
+    throughput: RGB
+    radiance: RGB
+    active: Array
+    depth: Array  # int32 scalar
+    keys: Array  # (N,) per-ray PRNG keys
+
+
+def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
+    """Survival probability (Render.cpp:153-165). mag2 treats the RGB triple
+    as a 3-vector."""
+    power = jnp.clip(mag2(throughput), RR_CLAMP_LO, RR_CLAMP_HI)
+    return jnp.where(depth < RR_YOUNG_DEPTH, RR_YOUNG_SURVIVAL, RR_BASE * power)
+
+
+def _bounce(scene: SceneArrays, state: PathState) -> PathState:
+    """One wavefront bounce: intersect -> accumulate emission -> RR ->
+    sample BRDF -> spawn continuation rays (Render.cpp:110-218)."""
+    hit = intersect_scene(scene, state.origin, state.direction)
+    active = state.active & hit.hit
+
+    params = gather_materials(scene, hit.material)
+
+    # L += throughput * L_e at every hit (no NEE; Render.cpp:187).
+    contrib = state.throughput * emission(params)
+    radiance = RGB(
+        state.radiance.x + jnp.where(active, contrib.x, 0.0),
+        state.radiance.y + jnp.where(active, contrib.y, 0.0),
+        state.radiance.z + jnp.where(active, contrib.z, 0.0),
+    )
+
+    # Per-bounce draws: u0 = RR, (u1, u2, u3) = BSDF sample (Render.cpp:189,199).
+    u = ray_uniforms(state.keys, STREAM_BOUNCE_BASE + state.depth, 4)
+    prob = russian_roulette_probability(state.throughput, state.depth)
+    survive = u[:, 0] <= prob  # killed when prob < u (Render.cpp:189)
+
+    basis = construct_basis(hit.normal)
+    w_out = -state.direction
+    wi, pdf, f = layered_sample(w_out, u[:, 1], u[:, 2], u[:, 3], basis, params)
+
+    new_origin = hit.position + wi * BOUNCE_EPSILON
+    scale = jnp.abs(dot(wi, hit.normal)) / (pdf * prob)
+    new_throughput = state.throughput * f * scale
+
+    active = active & survive
+
+    return PathState(
+        origin=where(active, new_origin, state.origin),
+        direction=where(active, wi, state.direction),
+        throughput=where(active, new_throughput, state.throughput),
+        radiance=radiance,
+        active=active,
+        depth=state.depth + 1,
+        keys=state.keys,
+    )
+
+
+def trace_paths(
+    scene: SceneArrays,
+    origin: Vec3,
+    direction: Vec3,
+    keys: Array,
+    max_depth: int,
+    unroll_bounces: bool = False,
+) -> RGB:
+    """Trace a wavefront to completion; returns per-ray radiance.
+
+    The loop exits early once every path has died (any(active) in the cond),
+    mirroring the reference's bounce-until-empty (Render.cpp:237-243) with a
+    max_depth bound for compile-time safety. With unroll_bounces=True a
+    reverse-differentiable fori_loop of exactly max_depth steps is used
+    instead (while_loop has no reverse-mode rule) -- the diff mode's path.
+    """
+    n = origin.x.shape[0]
+    state = PathState(
+        origin=origin,
+        direction=direction,
+        throughput=RGB(jnp.ones(n), jnp.ones(n), jnp.ones(n)),
+        radiance=RGB(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)),
+        active=jnp.ones(n, bool),
+        depth=jnp.zeros((), jnp.int32),
+        keys=keys,
+    )
+
+    if unroll_bounces:
+        state = jax.lax.fori_loop(
+            0, max_depth, lambda _, s: _bounce(scene, s), state
+        )
+    else:
+        state = jax.lax.while_loop(
+            lambda s: (s.depth < max_depth) & jnp.any(s.active),
+            lambda s: _bounce(scene, s),
+            state,
+        )
+    return state.radiance
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp_chunk", "spp_total", "max_depth"),
+)
+def render_chunk(
+    scene: SceneArrays,
+    root_key: Array,
+    sample_offset: Array,
+    *,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    spp_total: int,
+    max_depth: int,
+) -> Array:
+    """Render one sample chunk of the full frame; returns (H, W, 3) radiance
+    *sums* over the chunk's spp (caller accumulates and divides -- the
+    accumulate-(sum,count) design doubles as progressive mode + checkpoint).
+
+    Ray ids are global -- pixel * spp_total + sample index -- so chunking and
+    sharding never change the image.
+    """
+    num_pixels = width * height
+    pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
+    i = (pixel_ids % width).astype(jnp.float32)
+    j = (pixel_ids // width).astype(jnp.float32)
+
+    sample_idx = sample_offset + jnp.arange(spp_chunk, dtype=jnp.uint32)
+    # Wavefront layout: pixel-major, sample-minor.
+    rid = (
+        pixel_ids[:, None] * jnp.uint32(spp_total) + sample_idx[None, :]
+    ).reshape(-1)
+    keys = ray_keys(root_key, rid)
+
+    # Camera jitter within the pixel footprint (Render.cpp:85-100).
+    cam_u = ray_uniforms(keys, STREAM_CAMERA, 2)
+    x = (jnp.repeat(i, spp_chunk) + cam_u[:, 0]) * (1.0 / width)
+    y = (jnp.repeat(j, spp_chunk) + cam_u[:, 1]) * (1.0 / height)
+
+    origin, direction = generate_rays(scene.camera, x, y)
+    radiance = trace_paths(scene, origin, direction, keys, max_depth)
+
+    def pixel_sum(channel: Array) -> Array:
+        return channel.reshape(num_pixels, spp_chunk).sum(axis=1)
+
+    img = jnp.stack(
+        [pixel_sum(radiance.x), pixel_sum(radiance.y), pixel_sum(radiance.z)],
+        axis=-1,
+    )
+    return img.reshape(height, width, 3)

@@ -1,0 +1,56 @@
+"""Render options.
+
+The reference exposes a single knob, samplesAA (default 256,
+include/cornelis/RenderOptions.hpp:6-16), and hardcodes everything else:
+512x512 resolution (Render.cpp:307), 32x32 tiles (Render.cpp:327), the
+output path (Render.cpp:264). We lift all of those into configuration, with
+the reference's values as defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from .rng import DEFAULT_SEED
+
+
+@dataclass
+class RenderOptions:
+    # Reference knob + default (RenderOptions.hpp:7).
+    samples_aa: int = 256
+    # Hardcoded in the reference; lifted here with identical defaults.
+    width: int = 512
+    height: int = 512
+    # Max bounce depth: the reference loops until RR kills every path
+    # (Render.cpp:237-243); under jit we bound the while_loop. RR survival
+    # after depth 3 is <= 0.55, so P(alive at 64) < 1e-16 -- the truncation
+    # bias is far below MC noise.
+    max_depth: int = 64
+    seed: int = DEFAULT_SEED
+    # Samples dispatched per device call (progress/abort/checkpoint grain).
+    # 0 = auto-size to ~2M rays per dispatch.
+    spp_chunk: int = 0
+    # Output path; None = don't save. Reference hardcodes
+    # "cornelisrender2.png" (Render.cpp:264).
+    output: Optional[str] = "cornelisrender2.png"
+    # Use the standard sRGB 12.92 linear slope instead of the reference's
+    # 12.95 quirk (src/Color.cpp:47,68).
+    standard_srgb: bool = False
+    # Checkpoint file updated after every chunk; None disables.
+    checkpoint: Optional[str] = None
+
+    def validate(self) -> None:
+        if self.samples_aa <= 0:
+            raise ValueError(f"AA Samples must be > 0 (not {self.samples_aa}).")
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("Resolution must be positive.")
+        if self.max_depth <= 0:
+            raise ValueError("max_depth must be positive.")
+
+    def resolved_spp_chunk(self) -> int:
+        if self.spp_chunk > 0:
+            return min(self.spp_chunk, self.samples_aa)
+        target_rays = 2 * 1024 * 1024
+        chunk = max(1, target_rays // (self.width * self.height))
+        return min(chunk, self.samples_aa)

@@ -1,0 +1,78 @@
+"""Counter-based stateless RNG and hemisphere sampling.
+
+The reference uses a stateful Xoshiro128+ generator with jump-ahead streams
+per tile (include/cornelis/PRNG.hpp:11-37) to get deterministic, thread-safe
+sampling. The TPU-native replacement is JAX's counter-based threefry: every
+draw is keyed by (seed, ray_id, stream), so results are independent of
+evaluation order, chunking, and device mesh shape -- the same determinism
+guarantee the reference documents for tiles (Tiles.hpp:22-31), but strictly
+stronger (shard-invariant by construction).
+
+Hemisphere sampling reproduces the reference's exact mapping
+(PRNG.hpp:39-55): (x1, x2) -> (cos(2 pi x2) b, sin(2 pi x2) b, x1) with
+b = sqrt(1 - x1^2), and basis placement v0->B, v1->T, v2->N.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .math.vec import PI, Basis, Vec3
+
+Array = jnp.ndarray
+
+# Reference default seed (PRNG.hpp:12).
+DEFAULT_SEED = 19791102
+
+# Stream ids for the per-ray draw schedule. The reference consumes its
+# per-tile stream in a fixed order (camera jitter 2 draws: Render.cpp:94-95;
+# per bounce: 1 RR draw + 3 BSDF draws: Render.cpp:189,199). We key each
+# logical draw group instead of relying on consumption order.
+STREAM_CAMERA = 0
+STREAM_BOUNCE_BASE = 1  # bounce d uses stream STREAM_BOUNCE_BASE + d
+
+
+def make_key(seed: int = DEFAULT_SEED) -> Array:
+    return jax.random.key(seed)
+
+
+def ray_keys(root: Array, ray_ids: Array) -> Array:
+    """Per-ray keys from global ray ids: fold_in vmapped over the batch."""
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(root, ray_ids)
+
+
+def ray_uniforms(ray_key: Array, stream: Array, num: int) -> Array:
+    """Draw `num` uniforms in [0, 1) per ray for a given stream id.
+
+    ray_key: (N,) key array; returns (N, num) float32.
+    """
+
+    def draw(k):
+        return jax.random.uniform(jax.random.fold_in(k, stream), (num,))
+
+    return jax.vmap(draw)(ray_key)
+
+
+def hemisphere_sample(x1: Array, x2: Array) -> Vec3:
+    """Uniform hemisphere direction in canonical frame (PRNG.hpp:39-46).
+
+    z = x1 (uniform in [0,1) => uniform on the hemisphere), azimuth 2 pi x2.
+    """
+    a = 2.0 * PI * x2
+    b = jnp.sqrt(jnp.maximum(1.0 - x1 * x1, 0.0))
+    return Vec3(jnp.cos(a) * b, jnp.sin(a) * b, x1)
+
+
+def hemisphere_sample_basis(x1: Array, x2: Array, basis: Basis) -> Vec3:
+    """Hemisphere sample placed in a surface basis (PRNG.hpp:52-55).
+
+    Reference places canonical v as v0*B + v1*T + v2*N (note: B first).
+    """
+    v = hemisphere_sample(x1, x2)
+    return basis.b * v.x + basis.t * v.y + basis.n * v.z
+
+
+def hemisphere_pdf() -> float:
+    """Uniform hemisphere pdf = 1/(2 pi) (PRNG.hpp:62)."""
+    return 1.0 / (2.0 * PI)

@@ -1,0 +1,127 @@
+"""Scene compilation: description (AoS, host) -> SceneArrays (SoA, device).
+
+The reference compiles `SceneDescription` into `SceneData` -- SoA sphere and
+plane tables plus a material vector (src/Scene.cpp:5-53, include/cornelis/
+Scene.hpp:20-51). Here the compiled form is a pytree of stacked jnp arrays:
+replicable across the device mesh, traceable (so scene parameters can be
+optimized in the differentiable mode), and directly consumable by the
+wavefront kernels.
+
+Unlike the reference, virtual BRDF dispatch disappears: every material is a
+StandardMaterial (emission + layered diffuse/glossy BRDF, Materials.hpp:
+325-338), so the material table is a dense parameter array gathered by id.
+Derived quantities (Burley roughness remaps, Oren-Nayar A/B terms) are
+computed inside the shading kernels from the raw parameters so gradients
+flow to `roughness` etc. in differentiable mode.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..camera import Camera, look_at
+from ..math.vec import Vec3
+from .description import SceneDescription
+
+Array = jnp.ndarray
+
+
+class SceneArrays(NamedTuple):
+    """Compiled scene: camera + stacked object/material tables.
+
+    Sphere table mirrors SphereData {center, radius, material_id}
+    (Scene.cpp:5-18); plane table mirrors PlaneData {point, normal, width,
+    height, material_id} with extents.x -> width, extents.y -> height
+    (Scene.cpp:20-38). Materials are the StandardMaterial parameter rows.
+    """
+
+    camera: Camera
+    # Spheres: (S,)
+    sphere_center: Vec3
+    sphere_radius: Array
+    sphere_material: Array
+    # Planes: (P,)
+    plane_normal: Vec3
+    plane_point: Vec3
+    plane_width: Array
+    plane_height: Array
+    plane_material: Array
+    # Materials: (M,)
+    mat_albedo: Vec3
+    mat_emission: Vec3
+    mat_tint: Vec3
+    mat_roughness: Array
+    mat_ior: Array
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sphere_radius.shape[0]
+
+    @property
+    def num_planes(self) -> int:
+        return self.plane_width.shape[0]
+
+    @property
+    def num_materials(self) -> int:
+        return self.mat_roughness.shape[0]
+
+
+def _stack_vec3(values, dtype=jnp.float32) -> Vec3:
+    xs = jnp.asarray([v[0] for v in values], dtype)
+    ys = jnp.asarray([v[1] for v in values], dtype)
+    zs = jnp.asarray([v[2] for v in values], dtype)
+    return Vec3(xs, ys, zs)
+
+
+def compile_scene(descr: SceneDescription) -> SceneArrays:
+    """Pure function description -> device arrays (Scene.cpp:40-53 analog).
+
+    Material resolution: objects with material=None use index 0 (the default
+    material the builder always installs), matching `value_or(0)` at
+    Scene.cpp:16,36.
+    """
+    cam = look_at(
+        descr.camera.origin,
+        descr.camera.look_at,
+        descr.camera.aspect,
+        descr.camera.horizontal_fov,
+    )
+
+    spheres = descr.spheres
+    sphere_center = _stack_vec3([s.center for s in spheres])
+    sphere_radius = jnp.asarray([s.radius for s in spheres], jnp.float32)
+    sphere_material = jnp.asarray(
+        [s.material if s.material is not None else 0 for s in spheres], jnp.int32
+    )
+
+    planes = descr.planes
+    plane_normal = _stack_vec3([p.normal for p in planes])
+    plane_point = _stack_vec3([p.point for p in planes])
+    plane_width = jnp.asarray([p.extents[0] for p in planes], jnp.float32)
+    plane_height = jnp.asarray([p.extents[1] for p in planes], jnp.float32)
+    plane_material = jnp.asarray(
+        [p.material if p.material is not None else 0 for p in planes], jnp.int32
+    )
+
+    mats = descr.materials
+    if not mats:
+        raise ValueError("Scene must have at least the default material at index 0.")
+
+    return SceneArrays(
+        camera=cam,
+        sphere_center=sphere_center,
+        sphere_radius=sphere_radius,
+        sphere_material=sphere_material,
+        plane_normal=plane_normal,
+        plane_point=plane_point,
+        plane_width=plane_width,
+        plane_height=plane_height,
+        plane_material=plane_material,
+        mat_albedo=_stack_vec3([m.albedo for m in mats]),
+        mat_emission=_stack_vec3([m.emissive for m in mats]),
+        mat_tint=_stack_vec3([m.reflection_tint for m in mats]),
+        mat_roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
+        mat_ior=jnp.asarray([m.ior for m in mats], jnp.float32),
+    )

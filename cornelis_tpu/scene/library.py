@@ -1,0 +1,141 @@
+"""Built-in scenes.
+
+`cornell_box` is the reference's shipped scene, reproduced as *data* from
+src/cornelis.cpp:6-74 (the hard-coded Cornell box with colored walls, an
+emissive sphere light and three spheres including a low-roughness "gold"
+one). `sphere_on_plane` is the first-milestone scene from BASELINE.json
+config 1 (diffuse sphere + ground plane).
+"""
+
+from __future__ import annotations
+
+from .description import (
+    MaterialDescription,
+    PerspectiveCameraDescription,
+    PlaneDescription,
+    SceneDescription,
+    SphereDescription,
+)
+
+
+def cornell_box() -> SceneDescription:
+    """The reference's Cornell scene (src/cornelis.cpp:6-74)."""
+    side = 555.0
+    half = 550.0 / 2.0
+
+    scene = SceneDescription()
+    scene.set_camera(
+        PerspectiveCameraDescription(
+            origin=(0.0, half, -1100.0),
+            look_at=(0.0, half, 0.0),
+            aspect=1.0,
+            horizontal_fov=0.7,
+        )
+    )
+
+    red = scene.add_material(MaterialDescription(albedo=(0.65, 0.05, 0.05)))
+    white = scene.add_material(MaterialDescription(albedo=(0.73, 0.73, 0.73)))
+    green = scene.add_material(MaterialDescription(albedo=(0.12, 0.45, 0.15)))
+    gold = scene.add_material(
+        MaterialDescription(
+            albedo=(0.0, 0.0, 0.0),
+            emissive=(0.0, 0.0, 0.0),
+            roughness=0.01,
+            reflection_tint=(0.916, 0.61, 0.0),
+            ior=0.470,
+        )
+    )
+    light = scene.add_material(
+        MaterialDescription(albedo=(0.0, 0.0, 0.0), emissive=(15.0, 15.0, 15.0))
+    )
+
+    scene.add_plane(
+        PlaneDescription(
+            normal=(1.0, 0.0, 0.0),
+            point=(-half, half, 0.0),
+            extents=(side, side, 0.0),
+            material=green,
+        )
+    )
+    scene.add_plane(
+        PlaneDescription(
+            normal=(-1.0, 0.0, 0.0),
+            point=(half, half, 0.0),
+            extents=(side, side, 0.0),
+            material=red,
+        )
+    )
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, -1.0, 0.0),
+            point=(0.0, side, 0.0),
+            extents=(side, side, 0.0),
+            material=white,
+        )
+    )
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, 1.0, 0.0),
+            point=(0.0, 0.0, 0.0),
+            extents=(side, side, 0.0),
+            material=white,
+        )
+    )
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, 0.0, -1.0),
+            point=(0.0, half, half),
+            extents=(side, side, 0.0),
+            material=white,
+        )
+    )
+
+    scene.add_sphere(
+        SphereDescription(center=(0.0, side - 60.0, 0.0), radius=60.0, material=light)
+    )
+    scene.add_sphere(SphereDescription(center=(0.0, 50.0, 0.0), radius=50.0, material=red))
+    scene.add_sphere(
+        SphereDescription(center=(-160.0, 100.0, 0.0), radius=100.0, material=white)
+    )
+    scene.add_sphere(
+        SphereDescription(center=(160.0, 125.0, 200.0), radius=125.0, material=gold)
+    )
+
+    return scene
+
+
+def sphere_on_plane() -> SceneDescription:
+    """Diffuse sphere + ground plane under an emissive dome-ish light sphere
+    (BASELINE.json config 1: first-milestone scene)."""
+    scene = SceneDescription()
+    scene.set_camera(
+        PerspectiveCameraDescription(
+            origin=(0.0, 2.0, -8.0),
+            look_at=(0.0, 1.0, 0.0),
+            aspect=1.0,
+            horizontal_fov=0.7,
+        )
+    )
+    diffuse = scene.add_material(MaterialDescription(albedo=(0.6, 0.6, 0.6)))
+    ground = scene.add_material(MaterialDescription(albedo=(0.4, 0.45, 0.5)))
+    light = scene.add_material(
+        MaterialDescription(albedo=(0.0, 0.0, 0.0), emissive=(20.0, 20.0, 20.0))
+    )
+
+    scene.add_sphere(SphereDescription(center=(0.0, 1.0, 0.0), radius=1.0, material=diffuse))
+    scene.add_sphere(SphereDescription(center=(3.0, 6.0, -2.0), radius=2.0, material=light))
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, 1.0, 0.0),
+            point=(0.0, 0.0, 0.0),
+            extents=(40.0, 40.0, 0.0),
+            material=ground,
+        )
+    )
+    return scene
+
+
+BUILTIN_SCENES = {
+    "cornell": cornell_box,
+    "sphere-plane": sphere_on_plane,
+}
