@@ -22,7 +22,15 @@ Replicated quirks (each biases the image mean, required for golden match):
     (Materials.hpp:296-302);
   * the glossy sampler leaves wi = 0 when the sampled half-vector falls
     below the hemisphere (Materials.hpp:169-170 + the zero-init at
-    Render.cpp:198), which kills the path on the next bounce.
+    Render.cpp:198), which kills the path on the next bounce;
+  * the glossy pdf is HALF the sampler's true density: the half-vector
+    inversion cos(theta_h) = sqrt((1-x1)/(1+(a^2-1)x1)) (Materials.hpp:
+    159-162) is the CDF inverse for the standard 1/pi-normalized GGX NDF,
+    i.e. true p_h = 2 D_ref cos(theta_h) for the reference's 1/(2 pi)-
+    normalized D, but pdf() returns D_ref cos(theta_h)/(4 wi.h)
+    (Materials.hpp:177-188). The reference is therefore biased bright on
+    glossy lobes; we replicate (see glossy_sampler_density for the true
+    density, used by tests and the debiased mode).
 """
 
 from __future__ import annotations
@@ -195,6 +203,12 @@ def glossy_pdf(wi: Vec3, wo: Vec3, n: Vec3, alpha: Array) -> Array:
     safe = jnp.where(is_almost_zero(wi_dot_h), 1.0, wi_dot_h)
     pdf = jnp.where(is_almost_zero(wi_dot_h), pdf_h, pdf_h / (4.0 * safe))
     return jnp.where(is_almost_zero(cos_h), 1.0, pdf)
+
+
+def glossy_sampler_density(wi: Vec3, wo: Vec3, n: Vec3, alpha: Array) -> Array:
+    """TRUE density of glossy_sample in wi-space: 2x the reference pdf
+    (see module docstring). Used by statistical tests and debiased mode."""
+    return 2.0 * glossy_pdf(wi, wo, n, alpha)
 
 
 # -- Oren-Nayar diffuse layer (Materials.hpp:200-237) ------------------------
