@@ -55,14 +55,20 @@ class Hit(NamedTuple):
     hit: Array  # bool: t < inf
 
 
-def _empty_hit(shape) -> Hit:
-    zeros = jnp.zeros(shape, jnp.float32)
+def _empty_hit(like: Array) -> Hit:
+    """All-miss hit record (t = inf, Geometry.cpp:7-12).
+
+    Built with *_like on a wavefront array rather than jnp.zeros(shape) so
+    that under shard_map the record inherits the rays' varying manual axes
+    -- a replicated-constant init would fail the scan carry check.
+    """
+    zeros = jnp.zeros_like(like)
     return Hit(
-        t=jnp.full(shape, INF, jnp.float32),
+        t=jnp.full_like(like, INF),
         position=Vec3(zeros, zeros, zeros),
         normal=Vec3(zeros, zeros, zeros),
-        material=jnp.zeros(shape, jnp.int32),
-        hit=jnp.zeros(shape, bool),
+        material=zeros.astype(jnp.int32),
+        hit=zeros.astype(bool),
     )
 
 
@@ -158,7 +164,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     matching tests/test_Scene.cpp:24-31).
     """
     shape = o.x.shape
-    best = _empty_hit(shape)
+    best = _empty_hit(o.x)
 
     def sphere_step(best: Hit, params):
         center_x, center_y, center_z, radius, material = params

@@ -131,13 +131,16 @@ def trace_paths(
     reverse-differentiable fori_loop of exactly max_depth steps is used
     instead (while_loop has no reverse-mode rule) -- the diff mode's path.
     """
-    n = origin.x.shape[0]
+    # *_like inits (not jnp.ones(n)) so the loop carry inherits the rays'
+    # varying manual axes under shard_map (see geometry._empty_hit).
+    ones = jnp.ones_like(origin.x)
+    zeros = jnp.zeros_like(origin.x)
     state = PathState(
         origin=origin,
         direction=direction,
-        throughput=RGB(jnp.ones(n), jnp.ones(n), jnp.ones(n)),
-        radiance=RGB(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)),
-        active=jnp.ones(n, bool),
+        throughput=RGB(ones, ones, ones),
+        radiance=RGB(zeros, zeros, zeros),
+        active=ones.astype(bool),
         depth=jnp.zeros((), jnp.int32),
         keys=keys,
     )
@@ -153,6 +156,58 @@ def trace_paths(
             state,
         )
     return state.radiance
+
+
+def integrate_pixel_samples(
+    scene: SceneArrays,
+    root_key: Array,
+    pixel_ids: Array,
+    sample_idx: Array,
+    *,
+    width: int,
+    height: int,
+    spp_total: int,
+    max_depth: int,
+    unroll_bounces: bool = False,
+) -> Array:
+    """Core wavefront dispatch: trace every (pixel, sample) pair in the
+    cartesian product of `pixel_ids` x `sample_idx` and return per-pixel
+    radiance *sums* over those samples, shape (len(pixel_ids), 3).
+
+    Ray ids are global -- pixel * spp_total + sample index -- so any
+    partition of pixels or samples (chunking, device sharding) produces the
+    same set of per-ray keys and hence the same image. This is the unit both
+    the single-device chunk renderer and the mesh-sharded renderer
+    (parallel/render.py) are built from.
+    """
+    num_px = pixel_ids.shape[0]
+    spp = sample_idx.shape[0]
+    i = (pixel_ids % width).astype(jnp.float32)
+    j = (pixel_ids // width).astype(jnp.float32)
+
+    # Wavefront layout: pixel-major, sample-minor.
+    rid = (
+        pixel_ids[:, None] * jnp.uint32(spp_total) + sample_idx[None, :]
+    ).reshape(-1)
+    keys = ray_keys(root_key, rid)
+
+    # Camera jitter within the pixel footprint (Render.cpp:85-100).
+    cam_u = ray_uniforms(keys, STREAM_CAMERA, 2)
+    x = (jnp.repeat(i, spp) + cam_u[:, 0]) * (1.0 / width)
+    y = (jnp.repeat(j, spp) + cam_u[:, 1]) * (1.0 / height)
+
+    origin, direction = generate_rays(scene.camera, x, y)
+    radiance = trace_paths(
+        scene, origin, direction, keys, max_depth, unroll_bounces
+    )
+
+    def pixel_sum(channel: Array) -> Array:
+        return channel.reshape(num_px, spp).sum(axis=1)
+
+    return jnp.stack(
+        [pixel_sum(radiance.x), pixel_sum(radiance.y), pixel_sum(radiance.z)],
+        axis=-1,
+    )
 
 
 @partial(
@@ -173,35 +228,18 @@ def render_chunk(
     """Render one sample chunk of the full frame; returns (H, W, 3) radiance
     *sums* over the chunk's spp (caller accumulates and divides -- the
     accumulate-(sum,count) design doubles as progressive mode + checkpoint).
-
-    Ray ids are global -- pixel * spp_total + sample index -- so chunking and
-    sharding never change the image.
     """
     num_pixels = width * height
     pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
-    i = (pixel_ids % width).astype(jnp.float32)
-    j = (pixel_ids // width).astype(jnp.float32)
-
     sample_idx = sample_offset + jnp.arange(spp_chunk, dtype=jnp.uint32)
-    # Wavefront layout: pixel-major, sample-minor.
-    rid = (
-        pixel_ids[:, None] * jnp.uint32(spp_total) + sample_idx[None, :]
-    ).reshape(-1)
-    keys = ray_keys(root_key, rid)
-
-    # Camera jitter within the pixel footprint (Render.cpp:85-100).
-    cam_u = ray_uniforms(keys, STREAM_CAMERA, 2)
-    x = (jnp.repeat(i, spp_chunk) + cam_u[:, 0]) * (1.0 / width)
-    y = (jnp.repeat(j, spp_chunk) + cam_u[:, 1]) * (1.0 / height)
-
-    origin, direction = generate_rays(scene.camera, x, y)
-    radiance = trace_paths(scene, origin, direction, keys, max_depth)
-
-    def pixel_sum(channel: Array) -> Array:
-        return channel.reshape(num_pixels, spp_chunk).sum(axis=1)
-
-    img = jnp.stack(
-        [pixel_sum(radiance.x), pixel_sum(radiance.y), pixel_sum(radiance.z)],
-        axis=-1,
+    img = integrate_pixel_samples(
+        scene,
+        root_key,
+        pixel_ids,
+        sample_idx,
+        width=width,
+        height=height,
+        spp_total=spp_total,
+        max_depth=max_depth,
     )
     return img.reshape(height, width, 3)

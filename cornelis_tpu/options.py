@@ -39,6 +39,10 @@ class RenderOptions:
     standard_srgb: bool = False
     # Checkpoint file updated after every chunk; None disables.
     checkpoint: Optional[str] = None
+    # Device-mesh shape (tiles, samples); None = single-device dispatch.
+    # The TPU-native replacement for the reference's TBB tile pool
+    # (Render.cpp:335-354): pixels shard over `tiles`, spp over `samples`.
+    mesh_shape: Optional[tuple] = None
 
     def validate(self) -> None:
         if self.samples_aa <= 0:

@@ -1,0 +1,13 @@
+"""Mesh parallelism: the TPU-native replacement for the reference's TBB
+tile scheduler (src/Render.cpp:335-354). See mesh.py and render.py."""
+
+from .mesh import SAMPLE_AXIS, TILE_AXIS, initialize_distributed, make_mesh
+from .render import render_chunk_mesh
+
+__all__ = [
+    "SAMPLE_AXIS",
+    "TILE_AXIS",
+    "initialize_distributed",
+    "make_mesh",
+    "render_chunk_mesh",
+]

@@ -107,6 +107,22 @@ class RenderSession:
 
         key = make_key(opts.seed)
         spp_chunk = opts.resolved_spp_chunk()
+
+        mesh = None
+        if opts.mesh_shape is not None:
+            from .parallel import make_mesh, render_chunk_mesh  # lazy
+
+            mesh = make_mesh(opts.mesh_shape)
+            n_samp = opts.mesh_shape[1] if len(opts.mesh_shape) > 1 else 1
+            if n_samp > 1:
+                # Every chunk must split evenly over the sample axis.
+                spp_chunk = max(n_samp, spp_chunk - spp_chunk % n_samp)
+                if opts.samples_aa % n_samp != 0:
+                    raise ValueError(
+                        f"samples_aa ({opts.samples_aa}) must be divisible "
+                        f"by the sample mesh axis ({n_samp})"
+                    )
+
         chunk_starts = list(range(next_sample, opts.samples_aa, spp_chunk))
 
         progress = RenderProgress(
@@ -123,16 +139,21 @@ class RenderSession:
 
         for chunk_index, sample_offset in enumerate(chunk_starts):
             this_chunk = min(spp_chunk, opts.samples_aa - sample_offset)
-            chunk_sum = render_chunk(
-                self.scene,
-                key,
-                np.uint32(sample_offset),
+            common = dict(
                 width=opts.width,
                 height=opts.height,
                 spp_chunk=this_chunk,
                 spp_total=opts.samples_aa,
                 max_depth=opts.max_depth,
             )
+            if mesh is not None:
+                chunk_sum = render_chunk_mesh(
+                    self.scene, key, np.uint32(sample_offset), mesh=mesh, **common
+                )
+            else:
+                chunk_sum = render_chunk(
+                    self.scene, key, np.uint32(sample_offset), **common
+                )
             film.add_samples(np.asarray(chunk_sum), this_chunk)
 
             progress.chunks_completed = chunk_index + 1

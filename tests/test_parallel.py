@@ -1,0 +1,86 @@
+"""Mesh-sharding tests on the 8-device virtual CPU mesh (conftest.py).
+
+The key property (SURVEY.md section 5 "race detection" analog): the rendered
+image is invariant to the device mesh shape, because RNG keys depend only on
+global ray ids. This is the determinism guarantee the reference documents
+for its per-tile jump-ahead streams (Tiles.hpp:22-31), strengthened to
+cover arbitrary resharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cornelis_tpu.integrator import render_chunk
+from cornelis_tpu.parallel import make_mesh, render_chunk_mesh
+from cornelis_tpu.rng import make_key
+from cornelis_tpu.scene.compile import compile_scene
+from cornelis_tpu.scene.library import cornell_box
+
+W = H = 32
+SPP = 8
+COMMON = dict(width=W, height=H, spp_chunk=SPP, spp_total=SPP, max_depth=8)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return compile_scene(cornell_box())
+
+
+@pytest.fixture(scope="module")
+def reference_image(scene):
+    return np.asarray(
+        render_chunk(scene, make_key(3), jnp.uint32(0), **COMMON)
+    )
+
+
+def test_requires_eight_devices():
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4), (1, 8), (2, 1)])
+def test_mesh_shape_invariance(scene, reference_image, shape):
+    mesh = make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+    img = np.asarray(
+        render_chunk_mesh(scene, make_key(3), jnp.uint32(0), mesh=mesh, **COMMON)
+    )
+    # Sharding the sample axis changes float32 summation order; tiles-only
+    # sharding is bit-identical.
+    atol = 0.0 if shape[1] == 1 else 1e-4
+    np.testing.assert_allclose(img, reference_image, atol=atol, rtol=1e-5)
+
+
+def test_indivisible_raises(scene):
+    mesh = make_mesh((8, 1))
+    with pytest.raises(ValueError, match="divisible"):
+        render_chunk_mesh(
+            scene,
+            make_key(3),
+            jnp.uint32(0),
+            mesh=mesh,
+            width=30,
+            height=30,
+            spp_chunk=SPP,
+            spp_total=SPP,
+            max_depth=4,
+        )
+
+
+def test_output_is_row_sharded(scene):
+    mesh = make_mesh((8, 1))
+    img = render_chunk_mesh(scene, make_key(3), jnp.uint32(0), mesh=mesh, **COMMON)
+    shardings = {d.device for d in img.addressable_shards}
+    assert len(shardings) == 8
+
+
+def test_session_mesh_path_matches_single_device(tmp_path):
+    from cornelis_tpu.options import RenderOptions
+    from cornelis_tpu.render import RenderSession
+
+    common = dict(width=32, height=32, samples_aa=16, spp_chunk=8, seed=11, output=None)
+    single = RenderSession(cornell_box(), RenderOptions(**common)).render()
+    meshed = RenderSession(
+        cornell_box(), RenderOptions(**common, mesh_shape=(4, 2))
+    ).render()
+    np.testing.assert_allclose(meshed.image, single.image, atol=1e-5, rtol=1e-5)
