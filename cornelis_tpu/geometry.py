@@ -103,7 +103,11 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
     where t = +inf on miss.
     """
     rel = o - center
-    a = mag2(d)
+    deg = _degenerate(d)
+    # Dead paths carry d = 0 (the glossy below-horizon kill writes a zero
+    # direction); guard the divisor or 0/0 NaNs poison reverse-mode even
+    # though `valid` masks the lane in the primal.
+    a = jnp.where(deg, 1.0, mag2(d))
     b = dot(rel, d)
     c = mag2(rel)
 
@@ -112,14 +116,16 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
 
     disc = -v + (u * u) / 4.0
     has_root = disc >= 0.0
-    shift = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # 1e-12 floor: sqrt'(0) = inf at exactly-tangent rays would leak NaN
+    # through the miss-masked where in reverse mode.
+    shift = jnp.sqrt(jnp.maximum(disc, 1e-12))
     t0 = -u / 2.0 - shift
     t1 = -u / 2.0 + shift
     t0 = jnp.where(t0 < 0.0, INF, t0)
     t1 = jnp.where(t1 < 0.0, INF, t1)
     t = jnp.minimum(t0, t1)
 
-    valid = has_root & ~_degenerate(d) & jnp.isfinite(t)
+    valid = has_root & ~deg & jnp.isfinite(t)
     t = jnp.where(valid, t, INF)
     p = ray_at(o, d, jnp.where(valid, t, 0.0))
     n = normalize(p - center)

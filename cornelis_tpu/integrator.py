@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from .camera import generate_rays
 from .geometry import intersect_scene
-from .materials import emission, gather_materials, layered_sample
+from .materials import emission, gather_materials, layered_eval, layered_sample
 from .math.vec import RGB, Vec3, construct_basis, dot, mag2, ray_at, where
 from .rng import STREAM_BOUNCE_BASE, STREAM_CAMERA, ray_keys, ray_uniforms
 from .scene.compile import SceneArrays
@@ -73,9 +73,18 @@ def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
     return jnp.where(depth < RR_YOUNG_DEPTH, RR_YOUNG_SURVIVAL, RR_BASE * power)
 
 
-def _bounce(scene: SceneArrays, state: PathState) -> PathState:
+def _bounce(
+    scene: SceneArrays, state: PathState, detach_sampling: bool = False
+) -> PathState:
     """One wavefront bounce: intersect -> accumulate emission -> RR ->
-    sample BRDF -> spawn continuation rays (Render.cpp:110-218)."""
+    sample BRDF -> spawn continuation rays (Render.cpp:110-218).
+
+    detach_sampling=True applies the detached-sampling estimator for the
+    differentiable mode: sampled directions, pdfs, and RR probabilities are
+    wrapped in stop_gradient so parameter gradients flow only through the
+    BRDF/emission evaluations (reparameterizing through the peaked GGX
+    inverse-CDF is high-variance; detaching is the standard choice, cf.
+    Mitsuba's detached estimators)."""
     hit = intersect_scene(scene, state.origin, state.direction)
     active = state.active & hit.hit
 
@@ -97,6 +106,16 @@ def _bounce(scene: SceneArrays, state: PathState) -> PathState:
     basis = construct_basis(hit.normal)
     w_out = -state.direction
     wi, pdf, f = layered_sample(w_out, u[:, 1], u[:, 2], u[:, 3], basis, params)
+
+    if detach_sampling:
+        sg = jax.lax.stop_gradient
+        wi = Vec3(sg(wi.x), sg(wi.y), sg(wi.z))
+        pdf = sg(pdf)
+        prob = sg(prob)
+        # Re-evaluate f at the detached direction: layered_sample's f was
+        # computed before wi was detached, so its gradient still flows
+        # through the sampler's inverse-CDF; this one doesn't.
+        f = layered_eval(wi, w_out, hit.normal, params)
 
     new_origin = hit.position + wi * BOUNCE_EPSILON
     scale = jnp.abs(dot(wi, hit.normal)) / (pdf * prob)
@@ -122,6 +141,7 @@ def trace_paths(
     keys: Array,
     max_depth: int,
     unroll_bounces: bool = False,
+    detach_sampling: bool = False,
 ) -> RGB:
     """Trace a wavefront to completion; returns per-ray radiance.
 
@@ -147,12 +167,15 @@ def trace_paths(
 
     if unroll_bounces:
         state = jax.lax.fori_loop(
-            0, max_depth, lambda _, s: _bounce(scene, s), state
+            0,
+            max_depth,
+            lambda _, s: _bounce(scene, s, detach_sampling),
+            state,
         )
     else:
         state = jax.lax.while_loop(
             lambda s: (s.depth < max_depth) & jnp.any(s.active),
-            lambda s: _bounce(scene, s),
+            lambda s: _bounce(scene, s, detach_sampling),
             state,
         )
     return state.radiance
@@ -169,6 +192,7 @@ def integrate_pixel_samples(
     spp_total: int,
     max_depth: int,
     unroll_bounces: bool = False,
+    detach_sampling: bool = False,
 ) -> Array:
     """Core wavefront dispatch: trace every (pixel, sample) pair in the
     cartesian product of `pixel_ids` x `sample_idx` and return per-pixel
@@ -198,7 +222,7 @@ def integrate_pixel_samples(
 
     origin, direction = generate_rays(scene.camera, x, y)
     radiance = trace_paths(
-        scene, origin, direction, keys, max_depth, unroll_bounces
+        scene, origin, direction, keys, max_depth, unroll_bounces, detach_sampling
     )
 
     def pixel_sum(channel: Array) -> Array:

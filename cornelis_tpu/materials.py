@@ -97,8 +97,14 @@ def distribution_gtr2(cos_theta_h: Array, alpha: Array) -> Array:
     """GGX / Trowbridge-Reitz NDF, gamma=2 (Materials.cpp:16-26)."""
     alpha2 = alpha * alpha
     c2 = cos_theta_h * cos_theta_h
-    denom = 1.0 + (alpha2 - 1.0) * c2
-    d = (alpha2 / (2.0 * PI)) / (denom * denom)
+    # (1 - c2) + alpha2 c2, not 1 + (alpha2 - 1) c2: the latter cancels to
+    # exactly 0 in float32 at the c2 = 1 peak (alpha2 - 1 rounds to -1),
+    # which made D infinite and its reverse-mode partial NaN. The
+    # cancellation-free form evaluates to exactly alpha2 at the peak. The
+    # 1e-18 floor (square still float32-normal -- a 1e-20 floor's square
+    # flushes to zero and resurrects the NaN) guards c2 > 1 float spill.
+    denom = (1.0 - c2) + alpha2 * c2
+    d = (alpha2 / (2.0 * PI)) / jnp.maximum(denom * denom, 1e-18)
     return jnp.where(is_almost_zero(alpha2), 1.0, d)
 
 
@@ -106,14 +112,18 @@ def distribution_gtr3p2(cos_theta_h: Array, alpha: Array) -> Array:
     """Burley's GTR with gamma=1.5 (Materials.cpp:4-13)."""
     alpha2 = alpha * alpha
     c2 = cos_theta_h * cos_theta_h
-    base = 1.0 + (alpha2 - 1.0) * c2
-    d = ((alpha2 + alpha) / (2.0 * PI)) / jnp.power(jnp.maximum(base, 0.0), 1.5)
+    # Cancellation-free base + a floor whose ^3 stays float32-normal in the
+    # division's reverse mode (see distribution_gtr2).
+    base = (1.0 - c2) + alpha2 * c2
+    d = ((alpha2 + alpha) / (2.0 * PI)) / jnp.power(jnp.maximum(base, 1e-8), 1.5)
     return jnp.where(is_almost_zero(alpha2), 1.0, d)
 
 
 def lambda_tr(tan_theta: Array, alpha: Array) -> Array:
     """Smith lambda for Trowbridge-Reitz (Materials.cpp:28-32)."""
-    at = jnp.abs(tan_theta) * alpha
+    # Grad-safe: zero the infinite-tangent lanes *before* squaring, so no
+    # inf enters the sqrt (0 * inf = NaN in reverse mode otherwise).
+    at = jnp.where(jnp.isinf(tan_theta), 0.0, jnp.abs(tan_theta) * alpha)
     lam = (-1.0 + jnp.sqrt(1.0 + at * at)) * 0.5
     return jnp.where(jnp.isinf(tan_theta), 0.0, lam)
 
@@ -142,8 +152,8 @@ def glossy_eval(wi: Vec3, wo: Vec3, n: Vec3, tint: RGB, alpha: Array, ior: Array
     cos_i = jnp.maximum(0.0, dot(wi, n))
     dead = is_almost_zero(cos_o) | is_almost_zero(cos_i)
 
-    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
-    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 1e-12))
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 1e-12))
 
     h = normalize(wi + wo)
     h_zero = is_almost_zero(h.x) & is_almost_zero(h.y) & is_almost_zero(h.z)
@@ -172,8 +182,10 @@ def glossy_sample(wo: Vec3, x0: Array, x1: Array, basis: Basis, alpha: Array) ->
     alpha2 = alpha * alpha
     a = 1.0 - x1
     b = 1.0 + (alpha2 - 1.0) * x1
-    cos_h = jnp.sqrt(a / b)
-    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    # max with a tiny floor keeps sqrt' finite at x1 = 1 (attached-gradient
+    # mode differentiates through this inverse CDF).
+    cos_h = jnp.sqrt(jnp.maximum(a / b, 1e-12))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 1e-12))
     phi = 2.0 * PI * x0
 
     h = normalize(
@@ -245,8 +257,9 @@ def oren_nayar_eval(
 
     cos_i = wi.z
     cos_o = wo.z
-    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
-    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+    # 1e-12 floors keep sqrt' finite (grad-safe); forward change < 1e-6.
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 1e-12))
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 1e-12))
 
     safe_sin_i = jnp.where(sin_i > 0.0, sin_i, 1.0)
     safe_sin_o = jnp.where(sin_o > 0.0, sin_o, 1.0)
@@ -260,7 +273,7 @@ def oren_nayar_eval(
         & (jnp.abs(cphi_o) <= 1.0)
     )
     cos_dphi = cphi_i * cphi_o + jnp.sqrt(
-        jnp.maximum((1.0 - cphi_i * cphi_i) * (1.0 - cphi_o * cphi_o), 0.0)
+        jnp.maximum((1.0 - cphi_i * cphi_i) * (1.0 - cphi_o * cphi_o), 1e-12)
     )
     term = jnp.where(valid, jnp.maximum(0.0, cos_dphi), 0.0)
 

@@ -143,10 +143,12 @@ def normalize(v: Vec3) -> Vec3:
     Vectors whose length is below RayEpsilon are mapped to the zero vector
     instead of dividing by a tiny number.
     """
-    ln = length(v)
-    # Avoid 0/0 producing NaN in the unselected branch.
-    safe = jnp.where(is_almost_zero(ln), 1.0, ln)
-    s = jnp.where(is_almost_zero(ln), 0.0, 1.0 / safe)
+    # Grad-safe: guard the sqrt argument too -- sqrt'(0) = inf would leak
+    # NaN through the unselected where branch in reverse mode.
+    m2 = mag2(v)
+    zero = m2 < RAY_EPSILON * RAY_EPSILON  # <=> length < RayEpsilon
+    ln = jnp.sqrt(jnp.where(zero, 1.0, m2))
+    s = jnp.where(zero, 0.0, 1.0 / ln)
     return v * s
 
 
