@@ -37,7 +37,13 @@ from .camera import generate_rays
 from .geometry import intersect_scene
 from .materials import emission, gather_materials, layered_eval, layered_sample
 from .math.vec import RGB, Vec3, construct_basis, dot, mag2, ray_at, where
-from .rng import STREAM_BOUNCE_BASE, STREAM_CAMERA, ray_keys, ray_uniforms
+from .rng import (
+    STREAM_BOUNCE_BASE,
+    STREAM_CAMERA,
+    RayStreams,
+    make_ray_streams,
+    stream_uniforms,
+)
 from .scene.compile import SceneArrays
 
 Array = jnp.ndarray
@@ -63,7 +69,7 @@ class PathState(NamedTuple):
     radiance: RGB
     active: Array
     depth: Array  # int32 scalar
-    keys: Array  # (N,) per-ray PRNG keys
+    streams: RayStreams  # per-ray sampler state
 
 
 def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
@@ -74,7 +80,11 @@ def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
 
 
 def _bounce(
-    scene: SceneArrays, state: PathState, detach_sampling: bool = False
+    scene: SceneArrays,
+    state: PathState,
+    detach_sampling: bool = False,
+    sampler: str = "uniform",
+    index_bits: int = 32,
 ) -> PathState:
     """One wavefront bounce: intersect -> accumulate emission -> RR ->
     sample BRDF -> spawn continuation rays (Render.cpp:110-218).
@@ -98,14 +108,18 @@ def _bounce(
         state.radiance.z + jnp.where(active, contrib.z, 0.0),
     )
 
-    # Per-bounce draws: u0 = RR, (u1, u2, u3) = BSDF sample (Render.cpp:189,199).
-    u = ray_uniforms(state.keys, STREAM_BOUNCE_BASE + state.depth, 4)
+    # Per-bounce draws (Render.cpp:189,199). Column order is QMC-aware: the
+    # BSDF's 2D lobe draw (x0, x1) occupies a Sobol pair, (x2 layer choice,
+    # RR) the next -- in uniform mode columns are iid so order is free.
+    u = stream_uniforms(
+        state.streams, STREAM_BOUNCE_BASE + state.depth, 4, sampler, index_bits
+    )
     prob = russian_roulette_probability(state.throughput, state.depth)
-    survive = u[:, 0] <= prob  # killed when prob < u (Render.cpp:189)
+    survive = u[:, 3] <= prob  # killed when prob < u (Render.cpp:189)
 
     basis = construct_basis(hit.normal)
     w_out = -state.direction
-    wi, pdf, f = layered_sample(w_out, u[:, 1], u[:, 2], u[:, 3], basis, params)
+    wi, pdf, f = layered_sample(w_out, u[:, 0], u[:, 1], u[:, 2], basis, params)
 
     if detach_sampling:
         sg = jax.lax.stop_gradient
@@ -130,7 +144,7 @@ def _bounce(
         radiance=radiance,
         active=active,
         depth=state.depth + 1,
-        keys=state.keys,
+        streams=state.streams,
     )
 
 
@@ -138,10 +152,12 @@ def trace_paths(
     scene: SceneArrays,
     origin: Vec3,
     direction: Vec3,
-    keys: Array,
+    keys,
     max_depth: int,
     unroll_bounces: bool = False,
     detach_sampling: bool = False,
+    sampler: str = "uniform",
+    index_bits: int = 32,
 ) -> RGB:
     """Trace a wavefront to completion; returns per-ray radiance.
 
@@ -155,6 +171,13 @@ def trace_paths(
     # varying manual axes under shard_map (see geometry._empty_hit).
     ones = jnp.ones_like(origin.x)
     zeros = jnp.zeros_like(origin.x)
+    if not isinstance(keys, RayStreams):
+        # Raw key array (tests, ad-hoc tracing): wrap; Sobol needs real
+        # (pixel, sample) coordinates, so only the uniform sampler is legal.
+        if sampler != "uniform":
+            raise ValueError("sampler != 'uniform' requires RayStreams input")
+        u0 = zeros.astype(jnp.uint32)
+        keys = RayStreams(key=keys, pixel_seed=u0, sample_idx=u0)
     state = PathState(
         origin=origin,
         direction=direction,
@@ -162,20 +185,20 @@ def trace_paths(
         radiance=RGB(zeros, zeros, zeros),
         active=ones.astype(bool),
         depth=jnp.zeros((), jnp.int32),
-        keys=keys,
+        streams=keys,
     )
 
     if unroll_bounces:
         state = jax.lax.fori_loop(
             0,
             max_depth,
-            lambda _, s: _bounce(scene, s, detach_sampling),
+            lambda _, s: _bounce(scene, s, detach_sampling, sampler, index_bits),
             state,
         )
     else:
         state = jax.lax.while_loop(
             lambda s: (s.depth < max_depth) & jnp.any(s.active),
-            lambda s: _bounce(scene, s, detach_sampling),
+            lambda s: _bounce(scene, s, detach_sampling, sampler, index_bits),
             state,
         )
     return state.radiance
@@ -193,6 +216,7 @@ def integrate_pixel_samples(
     max_depth: int,
     unroll_bounces: bool = False,
     detach_sampling: bool = False,
+    sampler: str = "uniform",
 ) -> Array:
     """Core wavefront dispatch: trace every (pixel, sample) pair in the
     cartesian product of `pixel_ids` x `sample_idx` and return per-pixel
@@ -210,19 +234,29 @@ def integrate_pixel_samples(
     j = (pixel_ids // width).astype(jnp.float32)
 
     # Wavefront layout: pixel-major, sample-minor.
-    rid = (
-        pixel_ids[:, None] * jnp.uint32(spp_total) + sample_idx[None, :]
-    ).reshape(-1)
-    keys = ray_keys(root_key, rid)
+    px_flat = jnp.repeat(pixel_ids.astype(jnp.uint32), spp)
+    samp_flat = jnp.tile(sample_idx.astype(jnp.uint32), num_px)
+    streams = make_ray_streams(root_key, px_flat, samp_flat, spp_total)
+
+    # Sobol index range: ceil-log2 of the per-pixel sample budget.
+    index_bits = max(1, (spp_total - 1).bit_length())
 
     # Camera jitter within the pixel footprint (Render.cpp:85-100).
-    cam_u = ray_uniforms(keys, STREAM_CAMERA, 2)
+    cam_u = stream_uniforms(streams, STREAM_CAMERA, 2, sampler, index_bits)
     x = (jnp.repeat(i, spp) + cam_u[:, 0]) * (1.0 / width)
     y = (jnp.repeat(j, spp) + cam_u[:, 1]) * (1.0 / height)
 
     origin, direction = generate_rays(scene.camera, x, y)
     radiance = trace_paths(
-        scene, origin, direction, keys, max_depth, unroll_bounces, detach_sampling
+        scene,
+        origin,
+        direction,
+        streams,
+        max_depth,
+        unroll_bounces,
+        detach_sampling,
+        sampler,
+        index_bits,
     )
 
     def pixel_sum(channel: Array) -> Array:
@@ -236,7 +270,14 @@ def integrate_pixel_samples(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp_chunk", "spp_total", "max_depth"),
+    static_argnames=(
+        "width",
+        "height",
+        "spp_chunk",
+        "spp_total",
+        "max_depth",
+        "sampler",
+    ),
 )
 def render_chunk(
     scene: SceneArrays,
@@ -248,6 +289,7 @@ def render_chunk(
     spp_chunk: int,
     spp_total: int,
     max_depth: int,
+    sampler: str = "uniform",
 ) -> Array:
     """Render one sample chunk of the full frame; returns (H, W, 3) radiance
     *sums* over the chunk's spp (caller accumulates and divides -- the
@@ -265,5 +307,6 @@ def render_chunk(
         height=height,
         spp_total=spp_total,
         max_depth=max_depth,
+        sampler=sampler,
     )
     return img.reshape(height, width, 3)

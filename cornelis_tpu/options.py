@@ -43,6 +43,10 @@ class RenderOptions:
     # The TPU-native replacement for the reference's TBB tile pool
     # (Render.cpp:335-354): pixels shard over `tiles`, spp over `samples`.
     mesh_shape: Optional[tuple] = None
+    # Sample sequence: "uniform" (threefry; the reference's pseudo-random
+    # sampling in distribution) or "sobol" (Owen-scrambled low-discrepancy;
+    # the reference's planned QMC milestone, Sampling.hpp placeholder).
+    sampler: str = "uniform"
 
     def validate(self) -> None:
         if self.samples_aa <= 0:
@@ -51,6 +55,10 @@ class RenderOptions:
             raise ValueError("Resolution must be positive.")
         if self.max_depth <= 0:
             raise ValueError("max_depth must be positive.")
+        if self.sampler not in ("uniform", "sobol"):
+            raise ValueError(
+                f"sampler must be 'uniform' or 'sobol' (not {self.sampler!r})."
+            )
 
     def resolved_spp_chunk(self) -> int:
         if self.spp_chunk > 0:

@@ -52,6 +52,7 @@ def _check_divisible(value: int, by: int, what: str) -> None:
         "spp_total",
         "max_depth",
         "unroll_bounces",
+        "sampler",
     ),
 )
 def render_chunk_mesh(
@@ -66,6 +67,7 @@ def render_chunk_mesh(
     spp_total: int,
     max_depth: int,
     unroll_bounces: bool = False,
+    sampler: str = "uniform",
 ) -> Array:
     """Render one sample chunk over the mesh; returns (H, W, 3) radiance
     sums, identical (modulo float reduction order when spp is sharded) to
@@ -96,6 +98,7 @@ def render_chunk_mesh(
             spp_total=spp_total,
             max_depth=max_depth,
             unroll_bounces=unroll_bounces,
+            sampler=sampler,
         )
         if n_samp > 1:
             part = jax.lax.psum(part, SAMPLE_AXIS)

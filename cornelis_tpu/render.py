@@ -145,6 +145,7 @@ class RenderSession:
                 spp_chunk=this_chunk,
                 spp_total=opts.samples_aa,
                 max_depth=opts.max_depth,
+                sampler=opts.sampler,
             )
             if mesh is not None:
                 chunk_sum = render_chunk_mesh(

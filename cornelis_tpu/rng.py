@@ -15,6 +15,8 @@ b = sqrt(1 - x1^2), and basis placement v0->B, v1->T, v2->N.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,73 @@ def ray_uniforms(ray_key: Array, stream: Array, num: int) -> Array:
         return jax.random.uniform(jax.random.fold_in(k, stream), (num,))
 
     return jax.vmap(draw)(ray_key)
+
+
+class RayStreams(NamedTuple):
+    """Per-ray sampler state carried through the bounce loop.
+
+    `key` drives the default threefry sampler; `pixel_seed` and `sample_idx`
+    drive the Owen-scrambled Sobol sampler (sampling.py). All three are
+    always populated -- which one a draw consumes is a *static* choice
+    (the `sampler` name threaded through the integrator), so the loop carry
+    has one fixed pytree structure for both modes.
+    """
+
+    key: Array  # (N,) threefry keys
+    pixel_seed: Array  # (N,) uint32 per-pixel scramble seed
+    sample_idx: Array  # (N,) uint32 sample index within the pixel
+
+
+def make_ray_streams(
+    root: Array, pixel_ids: Array, sample_idx: Array, spp_total: int
+) -> RayStreams:
+    """Build per-ray sampler state from global (pixel, sample) coordinates.
+
+    pixel_ids/sample_idx: (N,) parallel arrays (already broadcast over the
+    wavefront). Keys depend only on the global ray id
+    pixel * spp_total + sample, so any partition of pixels or samples
+    (chunking, device sharding) draws identical numbers.
+    """
+    from .sampling import hash32  # local import: sampling has no rng dep
+
+    rid = pixel_ids.astype(jnp.uint32) * jnp.uint32(spp_total) + sample_idx.astype(
+        jnp.uint32
+    )
+    # One uint32 of root entropy mixed into the per-pixel Sobol seeds so a
+    # different render seed reshuffles the scrambles too.
+    root_bits = jax.random.bits(
+        jax.random.fold_in(root, 0x50B0), (), jnp.uint32
+    )
+    return RayStreams(
+        key=ray_keys(root, rid),
+        pixel_seed=hash32(pixel_ids.astype(jnp.uint32) ^ hash32(root_bits)),
+        sample_idx=sample_idx.astype(jnp.uint32),
+    )
+
+
+def stream_uniforms(
+    streams: RayStreams,
+    stream: Array,
+    num: int,
+    sampler: str = "uniform",
+    index_bits: int = 32,
+) -> Array:
+    """Draw `num` uniforms per ray for a draw-group id, shape (N, num).
+
+    sampler="uniform": counter-based threefry (matches the reference's
+    pseudo-random sampling in distribution). sampler="sobol": Owen-scrambled
+    (0,2)-sequence over the pixel's sample index (the reference's planned
+    QMC milestone); index_bits = ceil-log2 of the pixel's sample budget.
+    """
+    if sampler == "uniform":
+        return ray_uniforms(streams.key, stream, num)
+    if sampler == "sobol":
+        from .sampling import sobol_uniforms
+
+        return sobol_uniforms(
+            streams.pixel_seed, streams.sample_idx, stream, num, index_bits
+        )
+    raise ValueError(f"unknown sampler '{sampler}' (expected uniform|sobol)")
 
 
 def hemisphere_sample(x1: Array, x2: Array) -> Vec3:
