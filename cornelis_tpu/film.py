@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+from . import native as _native
 from .math import color as _color
 from .utils.png import write_png
 
@@ -37,7 +38,9 @@ class Film:
 
     def add_samples(self, chunk_sum: np.ndarray, num_samples: int) -> None:
         """Accumulate a chunk's per-pixel radiance sums over num_samples spp."""
-        self.radiance_sum += np.asarray(chunk_sum, np.float32)
+        chunk = np.asarray(chunk_sum, np.float32)
+        if not _native.accumulate(self.radiance_sum, chunk):
+            self.radiance_sum += chunk
         self.sample_count += num_samples
 
     def image(self) -> np.ndarray:
@@ -48,13 +51,22 @@ class Film:
         return self.radiance_sum / self.sample_count
 
     def to_srgb8(self, standard_srgb: bool = False) -> np.ndarray:
-        """Linear -> sRGB -> 8-bit (saveImage pipeline, Render.cpp:257-265)."""
+        """Linear -> sRGB -> 8-bit (saveImage pipeline, Render.cpp:257-265).
+
+        Uses the native C++ tonemap when built (native/cornelis_native.cpp,
+        the stb_image_write-era runtime rebuilt); falls back to jnp.
+        """
         img = self.image()
+        out = _native.srgb_quantize(img, standard=standard_srgb)
+        if out is not None:
+            return out
         encoded = np.asarray(_color.srgb_encode(img, standard=standard_srgb))
         return np.asarray(_color.quantize_to_8bit(encoded))
 
     def save_png(self, path: str, standard_srgb: bool = False) -> None:
-        write_png(path, self.to_srgb8(standard_srgb=standard_srgb))
+        srgb8 = self.to_srgb8(standard_srgb=standard_srgb)
+        if not _native.write_png(path, srgb8):
+            write_png(path, srgb8)
 
     # -- checkpoint / resume ------------------------------------------------
     def save_checkpoint(self, path: str, next_sample: int = 0, seed: int = 0) -> None:
