@@ -27,9 +27,10 @@ from .scene.description import (
     PerspectiveCameraDescription,
     PlaneDescription,
     SceneDescription,
+    SDFDescription,
     SphereDescription,
 )
-from .scene.library import BUILTIN_SCENES, cornell_box, sphere_on_plane
+from .scene.library import BUILTIN_SCENES, cornell_box, sdf_gallery, sphere_on_plane
 
 __version__ = "0.1.0"
 
@@ -49,6 +50,7 @@ __all__ = [
     "RenderResult",
     "RenderSession",
     "RenderStatus",
+    "SDFDescription",
     "SceneArrays",
     "SceneDescription",
     "SphereDescription",
@@ -66,6 +68,7 @@ __all__ = [
     "normalize",
     "render_chunk",
     "render_scene",
+    "sdf_gallery",
     "sphere_on_plane",
     "trace_paths",
 ]

@@ -161,6 +161,118 @@ def plane_candidate(
     return t, p, normal, valid
 
 
+# -- Implicit (SDF / level-set) surfaces ------------------------------------
+#
+# The reference vendors NanoVDB for future level-set surfaces (README
+# Milestone 6; the grid machinery is unused, SURVEY §2 #18). Our TPU-native
+# equivalent: analytic signed-distance primitives sphere-traced by the whole
+# wavefront in lockstep -- a fixed-trip fori_loop of pure VPU ops, with
+# per-lane convergence masks instead of early exit.
+
+SDF_KIND_SPHERE = 0
+SDF_KIND_BOX = 1
+SDF_KIND_TORUS = 2
+
+SPHERE_TRACE_STEPS = 128
+# Hit tolerance grows linearly with distance (constant *relative* resolution,
+# like a pixel cone); the floor sits above the integrator's 1e-4 bounce
+# offset so secondary rays don't immediately re-converge onto their origin
+# surface (min-t guard below handles grazing cases).
+SDF_EPS = 1e-4
+SDF_MIN_T = 1e-3
+SDF_MAX_T = 1e6
+
+
+def sdf_distance(kind: Array, params: Array, q: Vec3) -> Array:
+    """Signed distance of local point q for a primitive of `kind`.
+
+    params: (4,) scalars broadcast over the wavefront. All three candidate
+    distances are evaluated and selected by kind -- branch-free for the VPU.
+    """
+    # Sphere: |q| - r.
+    d_sphere = jnp.sqrt(jnp.maximum(mag2(q), 1e-20)) - params[0]
+
+    # Box: |max(|q| - b, 0)| + min(max-component, 0).
+    ax = jnp.abs(q.x) - params[0]
+    ay = jnp.abs(q.y) - params[1]
+    az = jnp.abs(q.z) - params[2]
+    outside = jnp.sqrt(
+        jnp.maximum(ax, 0.0) ** 2 + jnp.maximum(ay, 0.0) ** 2 + jnp.maximum(az, 0.0) ** 2
+    )
+    inside = jnp.minimum(jnp.maximum(ax, jnp.maximum(ay, az)), 0.0)
+    d_box = outside + inside
+
+    # Torus (axis = local y): |(|q.xz| - R, q.y)| - r.
+    ring = jnp.sqrt(jnp.maximum(q.x * q.x + q.z * q.z, 1e-20)) - params[0]
+    d_torus = jnp.sqrt(jnp.maximum(ring * ring + q.y * q.y, 1e-20)) - params[1]
+
+    return jnp.where(
+        kind == SDF_KIND_SPHERE,
+        d_sphere,
+        jnp.where(kind == SDF_KIND_BOX, d_box, d_torus),
+    )
+
+
+def sdf_normal(kind: Array, params: Array, q: Vec3, h: Array) -> Vec3:
+    """Surface normal by the 4-tap tetrahedron gradient estimate."""
+
+    def tap(sx, sy, sz):
+        return sdf_distance(kind, params, Vec3(q.x + sx * h, q.y + sy * h, q.z + sz * h))
+
+    t0 = tap(1.0, -1.0, -1.0)
+    t1 = tap(-1.0, -1.0, 1.0)
+    t2 = tap(-1.0, 1.0, -1.0)
+    t3 = tap(1.0, 1.0, 1.0)
+    g = Vec3(t0 - t1 - t2 + t3, -t0 - t1 + t2 + t3, -t0 + t1 - t2 + t3)
+    return normalize(g)
+
+
+def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
+    """Sphere-trace one SDF primitive for the whole wavefront.
+
+    Returns (t, p, n, valid) with t in the ray's own parameterization
+    (supports non-normalized directions like the analytic kernels). The
+    march runs a fixed SPHERE_TRACE_STEPS trips; converged/escaped lanes
+    freeze their t via masks.
+    """
+    deg = _degenerate(d)
+    dlen = jnp.sqrt(jnp.where(deg, 1.0, mag2(d)))
+    dn = Vec3(d.x / dlen, d.y / dlen, d.z / dlen)
+
+    def step(_, carry):
+        t, done = carry
+        p = ray_at(o, dn, t)
+        q = p - center
+        dist = sdf_distance(kind, params, q)
+        eps = SDF_EPS * jnp.maximum(1.0, t)
+        hit = jnp.abs(dist) < eps
+        escaped = t > SDF_MAX_T
+        done_now = done | hit | escaped
+        # Unconverged lanes advance by the (safe, positive-clamped) distance.
+        t_next = t + jnp.maximum(dist, 0.5 * eps)
+        return jnp.where(done_now, t, t_next), done_now
+
+    zeros = jnp.zeros_like(o.x)
+    t_world, _ = jax.lax.fori_loop(
+        0, SPHERE_TRACE_STEPS, step, (zeros, zeros.astype(bool))
+    )
+
+    p = ray_at(o, dn, t_world)
+    q = p - center
+    final_dist = sdf_distance(kind, params, q)
+    eps = SDF_EPS * jnp.maximum(1.0, t_world)
+    valid = (
+        ~deg
+        & (jnp.abs(final_dist) < eps)
+        & (t_world > SDF_MIN_T)
+        & (t_world <= SDF_MAX_T)
+    )
+    n = sdf_normal(kind, params, q, eps)
+    # Convert world-space march distance to the ray's parameterization.
+    t = jnp.where(valid, t_world / dlen, INF)
+    return t, p, n, valid
+
+
 def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """Closest hit against all spheres then all planes (Render.cpp:110-150).
 
@@ -217,6 +329,25 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             scene.plane_width,
             scene.plane_height,
             scene.plane_material,
+        ),
+        unroll=True,
+    )
+
+    def sdf_step(best: Hit, obj):
+        kind, cx, cy, cz, params, material = obj
+        t, p, n, valid = sdf_candidate(o, d, kind, Vec3(cx, cy, cz), params)
+        return _update_closest(best, t, p, n, material, valid), None
+
+    best, _ = jax.lax.scan(
+        sdf_step,
+        best,
+        (
+            scene.sdf_kind,
+            scene.sdf_center.x,
+            scene.sdf_center.y,
+            scene.sdf_center.z,
+            scene.sdf_params,
+            scene.sdf_material,
         ),
         unroll=True,
     )

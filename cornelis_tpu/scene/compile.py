@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..camera import Camera, look_at
 from ..math.vec import Vec3
-from .description import SceneDescription
+from .description import SDF_KINDS, SceneDescription
 
 Array = jnp.ndarray
 
@@ -48,6 +48,12 @@ class SceneArrays(NamedTuple):
     plane_width: Array
     plane_height: Array
     plane_material: Array
+    # Implicit (SDF / level-set) surfaces: (K,) + (K, 4) params
+    # (sphere-traced; our NanoVDB-level-set stand-in, SURVEY §2 #18).
+    sdf_kind: Array
+    sdf_center: Vec3
+    sdf_params: Array
+    sdf_material: Array
     # Materials: (M,)
     mat_albedo: Vec3
     mat_emission: Vec3
@@ -62,6 +68,10 @@ class SceneArrays(NamedTuple):
     @property
     def num_planes(self) -> int:
         return self.plane_width.shape[0]
+
+    @property
+    def num_sdfs(self) -> int:
+        return self.sdf_kind.shape[0]
 
     @property
     def num_materials(self) -> int:
@@ -105,6 +115,16 @@ def compile_scene(descr: SceneDescription) -> SceneArrays:
         [p.material if p.material is not None else 0 for p in planes], jnp.int32
     )
 
+    sdfs = descr.sdfs
+    sdf_kind = jnp.asarray([SDF_KINDS.index(s.kind) for s in sdfs], jnp.int32)
+    sdf_center = _stack_vec3([s.center for s in sdfs])
+    sdf_params = jnp.asarray(
+        [tuple(s.params) + (0.0,) * (4 - len(s.params)) for s in sdfs], jnp.float32
+    ).reshape(len(sdfs), 4)
+    sdf_material = jnp.asarray(
+        [s.material if s.material is not None else 0 for s in sdfs], jnp.int32
+    )
+
     mats = descr.materials
     if not mats:
         raise ValueError("Scene must have at least the default material at index 0.")
@@ -119,6 +139,10 @@ def compile_scene(descr: SceneDescription) -> SceneArrays:
         plane_width=plane_width,
         plane_height=plane_height,
         plane_material=plane_material,
+        sdf_kind=sdf_kind,
+        sdf_center=sdf_center,
+        sdf_params=sdf_params,
+        sdf_material=sdf_material,
         mat_albedo=_stack_vec3([m.albedo for m in mats]),
         mat_emission=_stack_vec3([m.emissive for m in mats]),
         mat_tint=_stack_vec3([m.reflection_tint for m in mats]),

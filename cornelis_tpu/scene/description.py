@@ -56,6 +56,28 @@ class PlaneDescription:
 
 
 @dataclass
+class SDFDescription:
+    """An implicit (level-set) surface, sphere-traced in the intersect
+    kernel. This is our TPU-native stand-in for the reference's staged
+    NanoVDB level-set milestone (README Milestone 6; external/nanovdb is
+    vendored but unused -- SURVEY §2 #18).
+
+    kind/params:
+      "sphere": params[0] = radius
+      "box":    params[0:3] = half-extents
+      "torus":  params[0] = major radius, params[1] = tube radius
+    """
+
+    kind: str = "sphere"
+    center: F3 = (0.0, 0.0, 0.0)
+    params: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    material: Optional[int] = None
+
+
+SDF_KINDS = ("sphere", "box", "torus")
+
+
+@dataclass
 class PerspectiveCameraDescription:
     """Defaults match SceneDescription.hpp:45-53."""
 
@@ -78,6 +100,7 @@ class SceneDescription:
     )
     spheres: List[SphereDescription] = field(default_factory=list)
     planes: List[PlaneDescription] = field(default_factory=list)
+    sdfs: List[SDFDescription] = field(default_factory=list)
 
     def set_camera(self, cam: PerspectiveCameraDescription) -> None:
         self.camera = cam
@@ -94,6 +117,12 @@ class SceneDescription:
         self.planes.append(plane)
         return len(self.planes) - 1
 
+    def add_sdf(self, sdf: SDFDescription) -> int:
+        if sdf.kind not in SDF_KINDS:
+            raise ValueError(f"unknown SDF kind {sdf.kind!r} (expected {SDF_KINDS})")
+        self.sdfs.append(sdf)
+        return len(self.sdfs) - 1
+
     # -- serialization ----------------------------------------------------
     def to_dict(self) -> dict:
         return {
@@ -101,6 +130,7 @@ class SceneDescription:
             "materials": [dataclasses.asdict(m) for m in self.materials],
             "spheres": [dataclasses.asdict(s) for s in self.spheres],
             "planes": [dataclasses.asdict(p) for p in self.planes],
+            "sdfs": [dataclasses.asdict(s) for s in self.sdfs],
         }
 
     def to_json(self, indent: int = 2) -> str:
@@ -127,6 +157,7 @@ class SceneDescription:
                 scene.materials = [MaterialDescription()]
         scene.spheres = [_load(SphereDescription, s) for s in d.get("spheres", [])]
         scene.planes = [_load(PlaneDescription, p) for p in d.get("planes", [])]
+        scene.sdfs = [_load(SDFDescription, s) for s in d.get("sdfs", [])]
         return scene
 
     @staticmethod

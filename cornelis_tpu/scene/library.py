@@ -14,6 +14,7 @@ from .description import (
     PerspectiveCameraDescription,
     PlaneDescription,
     SceneDescription,
+    SDFDescription,
     SphereDescription,
 )
 
@@ -135,7 +136,56 @@ def sphere_on_plane() -> SceneDescription:
     return scene
 
 
+def sdf_gallery() -> SceneDescription:
+    """Implicit-surface demo (BASELINE.json config 5 stand-in): a torus, a
+    box, and an SDF sphere on a ground plane under an emissive sphere."""
+    scene = SceneDescription()
+    scene.set_camera(
+        PerspectiveCameraDescription(
+            origin=(0.0, 2.5, -9.0),
+            look_at=(0.0, 1.0, 0.0),
+            aspect=1.0,
+            horizontal_fov=0.7,
+        )
+    )
+    red = scene.add_material(MaterialDescription(albedo=(0.65, 0.08, 0.08)))
+    blue = scene.add_material(MaterialDescription(albedo=(0.1, 0.2, 0.6)))
+    gold = scene.add_material(
+        MaterialDescription(
+            albedo=(0.1, 0.08, 0.02),
+            roughness=0.15,
+            reflection_tint=(0.916, 0.61, 0.0),
+            ior=0.47,
+        )
+    )
+    ground = scene.add_material(MaterialDescription(albedo=(0.5, 0.5, 0.5)))
+    light = scene.add_material(
+        MaterialDescription(albedo=(0.0, 0.0, 0.0), emissive=(18.0, 18.0, 18.0))
+    )
+
+    scene.add_sdf(
+        SDFDescription(kind="torus", center=(-2.4, 1.0, 0.0), params=(1.0, 0.4, 0.0, 0.0), material=red)
+    )
+    scene.add_sdf(
+        SDFDescription(kind="box", center=(0.0, 0.8, 0.6), params=(0.8, 0.8, 0.8, 0.0), material=blue)
+    )
+    scene.add_sdf(
+        SDFDescription(kind="sphere", center=(2.4, 1.0, 0.0), params=(1.0, 0.0, 0.0, 0.0), material=gold)
+    )
+    scene.add_sphere(SphereDescription(center=(2.0, 7.0, -3.0), radius=2.0, material=light))
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, 1.0, 0.0),
+            point=(0.0, 0.0, 0.0),
+            extents=(50.0, 50.0, 0.0),
+            material=ground,
+        )
+    )
+    return scene
+
+
 BUILTIN_SCENES = {
     "cornell": cornell_box,
     "sphere-plane": sphere_on_plane,
+    "sdf-gallery": sdf_gallery,
 }
