@@ -1,0 +1,367 @@
+"""Pallas TPU megakernel: the whole path-trace bounce loop, VMEM-resident.
+
+Why: the XLA integrator's `lax.while_loop` carries the full wavefront state
+(~70 B/ray) through HBM on every bounce -- at 8M rays x ~20 bounces that is
+~20 GB of round-trips per chunk, and HBM bandwidth, not compute, sets the
+speed limit. This kernel blocks the wavefront into (ROWS, 128) tiles that
+live in VMEM for their *entire* path life: HBM traffic collapses to the
+8 B/ray of input coordinates and 12 B/ray of output radiance. Two further
+structural wins:
+
+  * per-block early exit -- each block's while_loop ends when ITS rays die,
+    so the long tail of the path-length distribution no longer stalls the
+    whole wavefront (the XLA loop runs until the single longest path in the
+    full 8M-ray dispatch terminates);
+  * scene tables and camera are baked in as compile-time constants (one
+    recompile per scene, amortized over every chunk of a session) -- the
+    object loop unrolls to straight-line VPU code with no gathers.
+
+The physics code is shared with the XLA path: geometry.sphere_candidate /
+plane_candidate, materials.layered_sample, math.vec -- all elementwise jnp
+that traces identically inside the kernel. Only RNG differs mechanically:
+jax.random's key machinery doesn't exist in-kernel, so draws come from an
+explicit Threefry-2x32 (ops/threefry.py) keyed by (root key, pixel, sample,
+stream) -- same determinism guarantee (chunk/shard/order-invariant), same
+[0,1) quantization, different bits; renders agree with the XLA path in
+distribution (tests/test_pallas.py).
+
+Reference mapping: this is the TPU-native form of the reference's hot loop
+(src/Render.cpp:220-255 integrateTile + src/Geometry.cpp kernels), where the
+tile in VMEM plays the role of the reference's per-thread cache-resident
+tile, and the (ROWS, 128) lanes are its SoA wavefront (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera import Camera, generate_rays
+from ..geometry import plane_candidate, sphere_candidate
+from ..integrator import BOUNCE_EPSILON, russian_roulette_probability
+from ..materials import MaterialParams, layered_sample
+from ..math.vec import RGB, Vec3, construct_basis, dot
+from ..scene.compile import SceneArrays
+from .threefry import pair_uniforms
+
+Array = jnp.ndarray
+
+LANES = 128
+# Rays per block = ROWS * LANES. Swept on a v5e chip (Cornell, 512x512x32,
+# max_depth 64): 16 -> 63, 32 -> 197, 64 -> 193, 128 -> 167, 256 -> 149
+# Mrays/s -- 32 rows balances VPU register amortization against per-block
+# early-exit granularity.
+DEFAULT_ROWS = 32
+
+
+class HostScene(NamedTuple):
+    """Scene tables as hashable host tuples (compile-time kernel constants)."""
+
+    camera: tuple  # (eye, corner, u, v) each an (x, y, z) float tuple
+    spheres: tuple  # rows (cx, cy, cz, radius, material_id)
+    planes: tuple  # rows (nx, ny, nz, px, py, pz, width, height, material_id)
+    materials: tuple  # rows (albedo3, emission3, tint3, roughness, ior)
+
+
+def scene_to_host(scene: SceneArrays) -> HostScene:
+    g = lambda a: np.asarray(jax.device_get(a))
+
+    def v3(v) -> tuple:
+        return (float(g(v.x)), float(g(v.y)), float(g(v.z)))
+
+    cam = (v3(scene.camera.eye), v3(scene.camera.corner), v3(scene.camera.u), v3(scene.camera.v))
+    sph = tuple(
+        (
+            float(g(scene.sphere_center.x)[i]),
+            float(g(scene.sphere_center.y)[i]),
+            float(g(scene.sphere_center.z)[i]),
+            float(g(scene.sphere_radius)[i]),
+            int(g(scene.sphere_material)[i]),
+        )
+        for i in range(scene.num_spheres)
+    )
+    pln = tuple(
+        (
+            float(g(scene.plane_normal.x)[i]),
+            float(g(scene.plane_normal.y)[i]),
+            float(g(scene.plane_normal.z)[i]),
+            float(g(scene.plane_point.x)[i]),
+            float(g(scene.plane_point.y)[i]),
+            float(g(scene.plane_point.z)[i]),
+            float(g(scene.plane_width)[i]),
+            float(g(scene.plane_height)[i]),
+            int(g(scene.plane_material)[i]),
+        )
+        for i in range(scene.num_planes)
+    )
+    mats = tuple(
+        (
+            (float(g(scene.mat_albedo.x)[i]), float(g(scene.mat_albedo.y)[i]), float(g(scene.mat_albedo.z)[i])),
+            (float(g(scene.mat_emission.x)[i]), float(g(scene.mat_emission.y)[i]), float(g(scene.mat_emission.z)[i])),
+            (float(g(scene.mat_tint.x)[i]), float(g(scene.mat_tint.y)[i]), float(g(scene.mat_tint.z)[i])),
+            float(g(scene.mat_roughness)[i]),
+            float(g(scene.mat_ior)[i]),
+        )
+        for i in range(scene.num_materials)
+    )
+    return HostScene(camera=cam, spheres=sph, planes=pln, materials=mats)
+
+
+def _const_camera(cam: tuple) -> Camera:
+    # Plain Python floats: they embed as jaxpr literals (Pallas rejects
+    # kernels that capture concrete jnp arrays).
+    eye, corner, u, v = cam
+    mk = lambda t: Vec3(float(t[0]), float(t[1]), float(t[2]))
+    return Camera(eye=mk(eye), corner=mk(corner), u=mk(u), v=mk(v))
+
+
+def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
+    """Closest hit against the baked scene tables: fully unrolled object
+    loop (spheres then planes, strict best_t > t update -- the semantics of
+    geometry._update_closest / src/Render.cpp:110-150)."""
+    shape = o.x.shape
+    zero = jnp.zeros_like(o.x)
+    best_t = jnp.full_like(o.x, jnp.inf)
+    hit_any = zero.astype(bool)
+    bp = Vec3(zero, zero, zero)
+    bn = Vec3(zero, zero, zero)
+    bm = zero.astype(jnp.int32)
+
+    def update(best, cand):
+        best_t, hit_any, bp, bn, bm = best
+        t, p, n, valid, mid = cand
+        closer = valid & (best_t > t)
+        sel = lambda a, b: jnp.where(closer, a, b)
+        return (
+            sel(t, best_t),
+            hit_any | closer,
+            Vec3(sel(p.x, bp.x), sel(p.y, bp.y), sel(p.z, bp.z)),
+            Vec3(sel(n.x, bn.x), sel(n.y, bn.y), sel(n.z, bn.z)),
+            jnp.where(closer, mid, bm),
+        )
+
+    state = (best_t, hit_any, bp, bn, bm)
+    for cx, cy, cz, rad, mid in scene.spheres:
+        t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad)
+        state = update(state, (t, p, n, valid, mid))
+    for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
+        normal = Vec3(nx, ny, nz)
+        point = Vec3(px, py, pz)
+        t, p, n, valid = plane_candidate(o, d, normal, point, w, h)
+        n = Vec3(
+            jnp.broadcast_to(n.x, shape),
+            jnp.broadcast_to(n.y, shape),
+            jnp.broadcast_to(n.z, shape),
+        )
+        state = update(state, (t, p, n, valid, mid))
+    best_t, hit_any, bp, bn, bm = state
+    return best_t, bp, bn, bm, hit_any
+
+
+def _gather_materials_const(materials: tuple, ids: Array) -> MaterialParams:
+    """Material gather as an unrolled select chain over the (small) baked
+    table -- no dynamic gather inside the kernel."""
+
+    def pick(field_idx, sub=None):
+        acc = None
+        for m, row in enumerate(materials):
+            val = row[field_idx] if sub is None else row[field_idx][sub]
+            if acc is None:
+                acc = jnp.full_like(ids, val, dtype=jnp.float32)
+            else:
+                acc = jnp.where(ids == m, val, acc)
+        return acc
+
+    rgb = lambda fi: RGB(pick(fi, 0), pick(fi, 1), pick(fi, 2))
+    return MaterialParams(
+        albedo=rgb(0),
+        emission=rgb(1),
+        tint=rgb(2),
+        roughness=pick(3),
+        ior=pick(4),
+    )
+
+
+def _make_kernel(scene: HostScene, width: int, height: int, max_depth: int):
+    cam = _const_camera(scene.camera)
+
+    def kernel(key_ref, px_ref, si_ref, r_ref, g_ref, b_ref):
+        k0 = key_ref[0, 0]
+        k1 = key_ref[0, 1]
+        px = px_ref[:]
+        si = si_ref[:]
+
+        # Camera jitter + ray generation (stream 0).
+        u0, u1 = pair_uniforms(k0, k1, px, si, np.uint32(0), 0)
+        # Pixel coordinates fit in int32; Mosaic has no uint32->f32 cast.
+        fi = (px % np.uint32(width)).astype(jnp.int32).astype(jnp.float32)
+        fj = (px // np.uint32(width)).astype(jnp.int32).astype(jnp.float32)
+        x = (fi + u0) * (1.0 / width)
+        y = (fj + u1) * (1.0 / height)
+        o, d = generate_rays(cam, x, y)
+
+        ones = jnp.ones_like(x)
+        zeros = jnp.zeros_like(x)
+
+        def bounce(carry):
+            # `active` is carried as a float mask (1.0 / 0.0): Mosaic fails
+            # to legalize i1 vectors in scf.while carries.
+            o, d, tput, rad, active_f, depth = carry
+            t, p, n, mid, hit = _intersect_const(scene, o, d)
+            active = (active_f > 0.0) & hit
+
+            params = _gather_materials_const(scene.materials, mid)
+
+            contrib = tput * params.emission
+            rad = RGB(
+                rad.x + jnp.where(active, contrib.x, 0.0),
+                rad.y + jnp.where(active, contrib.y, 0.0),
+                rad.z + jnp.where(active, contrib.z, 0.0),
+            )
+
+            # Draw schedule mirrors integrator._bounce: pair 0 = BSDF lobe
+            # (x0, x1); pair 1 = (x2 layer choice, RR).
+            stream = (depth + 1).astype(jnp.uint32)
+            x0, x1 = pair_uniforms(k0, k1, px, si, stream, 0)
+            x2, u_rr = pair_uniforms(k0, k1, px, si, stream, 1)
+
+            prob = russian_roulette_probability(tput, depth)
+            survive = u_rr <= prob
+
+            basis = construct_basis(n)
+            w_out = -d
+            wi, pdf, f = layered_sample(w_out, x0, x1, x2, basis, params)
+
+            new_o = p + wi * BOUNCE_EPSILON
+            scale = jnp.abs(dot(wi, n)) / (pdf * prob)
+            new_tput = tput * f * scale
+
+            active = active & survive
+            sel = lambda a, b: jnp.where(active, a, b)
+            return (
+                Vec3(sel(new_o.x, o.x), sel(new_o.y, o.y), sel(new_o.z, o.z)),
+                Vec3(sel(wi.x, d.x), sel(wi.y, d.y), sel(wi.z, d.z)),
+                RGB(sel(new_tput.x, tput.x), sel(new_tput.y, tput.y), sel(new_tput.z, tput.z)),
+                rad,
+                jnp.where(active, 1.0, 0.0).astype(jnp.float32),
+                depth + 1,
+            )
+
+        # depth starts as a traced 0-d int32 derived from an input (a bare
+        # jnp scalar would be a captured constant, which Pallas rejects).
+        depth0 = (px[0, 0] & np.uint32(0)).astype(jnp.int32)
+        carry = (
+            o,
+            d,
+            RGB(ones, ones, ones),
+            RGB(zeros, zeros, zeros),
+            ones,  # active mask as f32 (see bounce)
+            depth0,
+        )
+        carry = jax.lax.while_loop(
+            lambda c: (c[5] < max_depth) & (jnp.max(c[4]) > 0.0),
+            bounce,
+            carry,
+        )
+        rad = carry[3]
+        r_ref[:] = rad.x
+        g_ref[:] = rad.y
+        b_ref[:] = rad.z
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_renderer(
+    scene: HostScene,
+    width: int,
+    height: int,
+    max_depth: int,
+    num_blocks: int,
+    rows: int,
+    interpret: bool,
+):
+    kernel = _make_kernel(scene, width, height, max_depth)
+    block = (rows, LANES)
+    out_shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def render_chunk_pallas(
+    scene: SceneArrays,
+    root_key: Array,
+    sample_offset,
+    *,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    spp_total: int,
+    max_depth: int,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in counterpart of integrator.render_chunk on the megakernel.
+
+    Returns (H, W, 3) radiance *sums* over the chunk's spp. Same determinism
+    contract (results depend only on (seed, pixel, sample)); bit-different
+    draws from the XLA path, identical distribution.
+
+    Unsupported here (callers fall back to XLA): Sobol sampling, SDF
+    primitives, differentiable mode.
+    """
+    if scene.num_sdfs > 0:
+        raise ValueError("pallas backend does not support SDF primitives yet")
+    host = scene_to_host(scene)
+
+    num_px = width * height
+    n = num_px * spp_chunk
+    block_rays = rows * LANES
+    n_pad = (n + block_rays - 1) // block_rays * block_rays
+    num_blocks = n_pad // block_rays
+
+    px = jnp.repeat(jnp.arange(num_px, dtype=jnp.uint32), spp_chunk)
+    si = jnp.asarray(sample_offset, jnp.uint32) + jnp.tile(
+        jnp.arange(spp_chunk, dtype=jnp.uint32), num_px
+    )
+    if n_pad != n:
+        pad = jnp.zeros(n_pad - n, jnp.uint32)
+        px = jnp.concatenate([px, pad])
+        si = jnp.concatenate([si, pad])
+    px = px.reshape(num_blocks * rows, LANES)
+    si = si.reshape(num_blocks * rows, LANES)
+
+    key2 = jax.random.key_data(root_key).astype(jnp.uint32).reshape(1, 2)
+
+    renderer = _build_renderer(
+        host, width, height, max_depth, num_blocks, rows, interpret
+    )
+    r, g, b = renderer(key2, px, si)
+
+    def pixel_sum(c: Array) -> Array:
+        return c.reshape(-1)[:n].reshape(num_px, spp_chunk).sum(axis=1)
+
+    img = jnp.stack([pixel_sum(r), pixel_sum(g), pixel_sum(b)], axis=-1)
+    return img.reshape(height, width, 3)

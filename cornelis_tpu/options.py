@@ -47,6 +47,10 @@ class RenderOptions:
     # sampling in distribution) or "sobol" (Owen-scrambled low-discrepancy;
     # the reference's planned QMC milestone, Sampling.hpp placeholder).
     sampler: str = "uniform"
+    # Compute backend: "auto" picks the Pallas VMEM-resident megakernel on
+    # TPU when eligible (uniform sampler, no SDFs, no mesh sharding) and the
+    # XLA wavefront otherwise; "xla" / "pallas" force a path.
+    backend: str = "auto"
 
     def validate(self) -> None:
         if self.samples_aa <= 0:
@@ -58,6 +62,10 @@ class RenderOptions:
         if self.sampler not in ("uniform", "sobol"):
             raise ValueError(
                 f"sampler must be 'uniform' or 'sobol' (not {self.sampler!r})."
+            )
+        if self.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"backend must be auto, xla, or pallas (not {self.backend!r})."
             )
 
     def resolved_spp_chunk(self) -> int:

@@ -108,6 +108,20 @@ class RenderSession:
         key = make_key(opts.seed)
         spp_chunk = opts.resolved_spp_chunk()
 
+        # Backend selection: the Pallas megakernel handles single-device
+        # TPU dispatches of the uniform-sampler analytic-scene path; the
+        # XLA wavefront covers everything else (Sobol, SDFs, meshes, CPU).
+        use_pallas = opts.backend == "pallas"
+        if opts.backend == "auto":
+            import jax
+
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and opts.sampler == "uniform"
+                and opts.mesh_shape is None
+                and self.scene.num_sdfs == 0
+            )
+
         mesh = None
         if opts.mesh_shape is not None:
             from .parallel import make_mesh, render_chunk_mesh  # lazy
@@ -150,6 +164,14 @@ class RenderSession:
             if mesh is not None:
                 chunk_sum = render_chunk_mesh(
                     self.scene, key, np.uint32(sample_offset), mesh=mesh, **common
+                )
+            elif use_pallas:
+                from .ops.pallas_integrator import render_chunk_pallas  # lazy
+
+                pallas_kw = dict(common)
+                pallas_kw.pop("sampler")  # megakernel is uniform-only
+                chunk_sum = render_chunk_pallas(
+                    self.scene, key, np.uint32(sample_offset), **pallas_kw
                 )
             else:
                 chunk_sum = render_chunk(
