@@ -71,28 +71,49 @@ class RayStreams(NamedTuple):
     sample_idx: Array  # (N,) uint32 sample index within the pixel
 
 
+def pixel_sample_keys(root: Array, pixel_ids: Array, sample_idx: Array) -> Array:
+    """Per-ray keys from (pixel, sample) coordinates: two fold_ins.
+
+    Keying the two coordinates separately (instead of packing them into one
+    uint32 ray id `pixel * spp_total + sample`) keeps the streams
+    collision-free at any scale: the packed form wraps past 2^32 rays --
+    1080p at >2070 spp -- silently reusing keys between distant pixels. Each
+    fold_in is a full threefry block, so (p0, s0) != (p1, s1) implies
+    distinct keys with cryptographic confidence, matching the reference's
+    non-overlapping jump-ahead stream guarantee (PRNG.hpp:32-37) without any
+    range limit. The Pallas megakernel packs (pixel, sample) into separate
+    counter words (ops/threefry.py:77-88) -- the same structure.
+    """
+
+    def derive(p, s):
+        return jax.random.fold_in(jax.random.fold_in(root, p), s)
+
+    return jax.vmap(derive)(
+        pixel_ids.astype(jnp.uint32), sample_idx.astype(jnp.uint32)
+    )
+
+
 def make_ray_streams(
     root: Array, pixel_ids: Array, sample_idx: Array, spp_total: int
 ) -> RayStreams:
     """Build per-ray sampler state from global (pixel, sample) coordinates.
 
     pixel_ids/sample_idx: (N,) parallel arrays (already broadcast over the
-    wavefront). Keys depend only on the global ray id
-    pixel * spp_total + sample, so any partition of pixels or samples
-    (chunking, device sharding) draws identical numbers.
+    wavefront). Keys depend only on the global (pixel, sample) pair, so any
+    partition of pixels or samples (chunking, device sharding) draws
+    identical numbers. `spp_total` is kept for API stability (it no longer
+    affects the keys -- see pixel_sample_keys).
     """
+    del spp_total  # keys are packing-free; see pixel_sample_keys
     from .sampling import hash32  # local import: sampling has no rng dep
 
-    rid = pixel_ids.astype(jnp.uint32) * jnp.uint32(spp_total) + sample_idx.astype(
-        jnp.uint32
-    )
     # One uint32 of root entropy mixed into the per-pixel Sobol seeds so a
     # different render seed reshuffles the scrambles too.
     root_bits = jax.random.bits(
         jax.random.fold_in(root, 0x50B0), (), jnp.uint32
     )
     return RayStreams(
-        key=ray_keys(root, rid),
+        key=pixel_sample_keys(root, pixel_ids, sample_idx),
         pixel_seed=hash32(pixel_ids.astype(jnp.uint32) ^ hash32(root_bits)),
         sample_idx=sample_idx.astype(jnp.uint32),
     )

@@ -164,14 +164,15 @@ class TestStreamUniforms:
         assert abs(c) < 0.2
 
     def test_uniform_mode_unchanged(self):
-        from cornelis_tpu.rng import ray_keys, ray_uniforms
+        from cornelis_tpu.rng import pixel_sample_keys, ray_uniforms
 
         px = jnp.array([3, 3], jnp.uint32)
         si = jnp.array([0, 1], jnp.uint32)
         streams = make_ray_streams(make_key(5), px, si, 8)
         got = np.asarray(stream_uniforms(streams, 2, 3, sampler="uniform"))
-        rid = px * jnp.uint32(8) + si
-        want = np.asarray(ray_uniforms(ray_keys(make_key(5), rid), 2, 3))
+        want = np.asarray(
+            ray_uniforms(pixel_sample_keys(make_key(5), px, si), 2, 3)
+        )
         assert np.array_equal(got, want)
 
 
