@@ -287,6 +287,17 @@ def _build_renderer(
     rows: int,
     interpret: bool,
 ):
+    if not interpret:
+        from ..utils.logging import logger
+
+        logger.info(
+            "Compiling Pallas megakernel for %dx%d (max_depth %d, %d blocks)"
+            " -- first dispatch takes ~15 s cold, instant once cached.",
+            width,
+            height,
+            max_depth,
+            num_blocks,
+        )
     kernel = _make_kernel(scene, width, height, max_depth)
     block = (rows, LANES)
     out_shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.float32)

@@ -83,6 +83,9 @@ class RenderSession:
     """Compile once, render with progress/abort/checkpoint (Render.hpp:16-49)."""
 
     def __init__(self, scene: SceneDescription, options: Optional[RenderOptions] = None):
+        from .utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()  # megakernel cold compiles cache to disk
         self.options = options or RenderOptions()
         self.options.validate()
         self.scene_description = scene
