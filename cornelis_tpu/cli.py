@@ -83,6 +83,29 @@ def build_parser() -> argparse.ArgumentParser:
         "single-device dispatch.",
     )
     p.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="Multi-host bring-up: jax.distributed coordinator address. "
+        "Launch one process per host with identical flags except "
+        "--process-id; the render then runs under a global mesh spanning "
+        "every host's devices.",
+    )
+    p.add_argument(
+        "--num-processes",
+        type=int,
+        default=None,
+        help="Total number of processes in the multi-host job "
+        "(with --coordinator).",
+    )
+    p.add_argument(
+        "--process-id",
+        type=int,
+        default=None,
+        help="This process's index in the multi-host job "
+        "(with --coordinator).",
+    )
+    p.add_argument(
         "--standard-srgb",
         action="store_true",
         help="Use the standard sRGB 12.92 linear slope instead of the "
@@ -158,6 +181,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .utils.logging import logger
 
         logger.setLevel("WARNING")
+
+    # Multi-host bring-up MUST precede any device query (jax.devices() in
+    # make_mesh / backend init); initialize_distributed fails loudly on a
+    # bad coordinator rather than hanging in the first collective.
+    if args.coordinator is not None:
+        from .parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     scene = load_scene(args.scene)
     options = RenderOptions(

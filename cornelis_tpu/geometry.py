@@ -240,21 +240,27 @@ def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
     dn = Vec3(d.x / dlen, d.y / dlen, d.z / dlen)
 
     def step(_, carry):
-        t, done = carry
+        # `done` is carried as a float mask (1.0 / 0.0): the march also runs
+        # inside the Pallas megakernel, where Mosaic cannot legalize i1
+        # vectors in loop carries.
+        t, done_f = carry
         p = ray_at(o, dn, t)
         q = p - center
         dist = sdf_distance(kind, params, q)
         eps = SDF_EPS * jnp.maximum(1.0, t)
         hit = jnp.abs(dist) < eps
         escaped = t > SDF_MAX_T
-        done_now = done | hit | escaped
+        done_now = (done_f > 0.0) | hit | escaped
         # Unconverged lanes advance by the (safe, positive-clamped) distance.
         t_next = t + jnp.maximum(dist, 0.5 * eps)
-        return jnp.where(done_now, t, t_next), done_now
+        return (
+            jnp.where(done_now, t, t_next),
+            jnp.where(done_now, 1.0, 0.0).astype(jnp.float32),
+        )
 
     zeros = jnp.zeros_like(o.x)
     t_world, _ = jax.lax.fori_loop(
-        0, SPHERE_TRACE_STEPS, step, (zeros, zeros.astype(bool))
+        0, SPHERE_TRACE_STEPS, step, (zeros, zeros)
     )
 
     p = ray_at(o, dn, t_world)

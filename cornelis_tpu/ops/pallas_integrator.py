@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..camera import Camera, generate_rays
-from ..geometry import plane_candidate, sphere_candidate
+from ..geometry import plane_candidate, sdf_candidate, sphere_candidate
 from ..integrator import BOUNCE_EPSILON, russian_roulette_probability
 from ..materials import MaterialParams, layered_sample
 from ..math.vec import RGB, Vec3, construct_basis, dot
@@ -67,6 +67,7 @@ class HostScene(NamedTuple):
     spheres: tuple  # rows (cx, cy, cz, radius, material_id)
     planes: tuple  # rows (nx, ny, nz, px, py, pz, width, height, material_id)
     materials: tuple  # rows (albedo3, emission3, tint3, roughness, ior)
+    sdfs: tuple = ()  # rows (kind, cx, cy, cz, (p0, p1, p2, p3), material_id)
 
 
 def scene_to_host(scene: SceneArrays) -> HostScene:
@@ -110,7 +111,18 @@ def scene_to_host(scene: SceneArrays) -> HostScene:
         )
         for i in range(scene.num_materials)
     )
-    return HostScene(camera=cam, spheres=sph, planes=pln, materials=mats)
+    sdfs = tuple(
+        (
+            int(g(scene.sdf_kind)[i]),
+            float(g(scene.sdf_center.x)[i]),
+            float(g(scene.sdf_center.y)[i]),
+            float(g(scene.sdf_center.z)[i]),
+            tuple(float(v) for v in g(scene.sdf_params)[i]),
+            int(g(scene.sdf_material)[i]),
+        )
+        for i in range(scene.num_sdfs)
+    )
+    return HostScene(camera=cam, spheres=sph, planes=pln, materials=mats, sdfs=sdfs)
 
 
 def _const_camera(cam: tuple) -> Camera:
@@ -159,6 +171,12 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
             jnp.broadcast_to(n.y, shape),
             jnp.broadcast_to(n.z, shape),
         )
+        state = update(state, (t, p, n, valid, mid))
+    for kind, cx, cy, cz, params, mid in scene.sdfs:
+        # Shared sphere-trace with the XLA path (geometry.sdf_candidate);
+        # kind/params embed as literals, the march's fori_loop stays a
+        # loop (not unrolled) in the kernel.
+        t, p, n, valid = sdf_candidate(o, d, kind, Vec3(cx, cy, cz), params)
         state = update(state, (t, p, n, valid, mid))
     best_t, hit_any, bp, bn, bm = state
     return best_t, bp, bn, bm, hit_any
@@ -340,11 +358,9 @@ def render_chunk_pallas(
     contract (results depend only on (seed, pixel, sample)); bit-different
     draws from the XLA path, identical distribution.
 
-    Unsupported here (callers fall back to XLA): Sobol sampling, SDF
-    primitives, differentiable mode.
+    Unsupported here (callers fall back to XLA): Sobol sampling,
+    differentiable mode.
     """
-    if scene.num_sdfs > 0:
-        raise ValueError("pallas backend does not support SDF primitives yet")
     host = scene_to_host(scene)
 
     num_px = width * height

@@ -112,8 +112,9 @@ class RenderSession:
         spp_chunk = opts.resolved_spp_chunk()
 
         # Backend selection: the Pallas megakernel handles single-device
-        # TPU dispatches of the uniform-sampler analytic-scene path; the
-        # XLA wavefront covers everything else (Sobol, SDFs, meshes, CPU).
+        # TPU dispatches of the uniform-sampler path (analytic + SDF
+        # primitives); the XLA wavefront covers everything else (Sobol,
+        # meshes, CPU).
         use_pallas = opts.backend == "pallas"
         if opts.backend == "auto":
             import jax
@@ -122,7 +123,6 @@ class RenderSession:
                 jax.default_backend() not in ("cpu",)
                 and opts.sampler == "uniform"
                 and opts.mesh_shape is None
-                and self.scene.num_sdfs == 0
             )
 
         mesh = None

@@ -174,6 +174,29 @@ class TestMegakernelInterpret:
         )
         assert np.array_equal(a, b)
 
+    def test_sdf_scene_matches_xla(self):
+        # SDF primitives in the megakernel (sphere-traced in-kernel via the
+        # shared geometry.sdf_candidate): compare against the XLA wavefront
+        # on the sdf-gallery scene.
+        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+        from cornelis_tpu.scene.library import sdf_gallery
+
+        scene = compile_scene(sdf_gallery())
+        assert scene.num_sdfs > 0
+        key = make_key(2)
+        W = H = 24
+        SPP = 16
+        kw = dict(width=W, height=H, spp_chunk=SPP, spp_total=SPP, max_depth=6)
+        p = np.asarray(
+            render_chunk_pallas(scene, key, np.uint32(0), interpret=True, **kw)
+        ) / SPP
+        x = np.asarray(render_chunk(scene, key, jnp.uint32(0), **kw)) / SPP
+        assert np.all(np.isfinite(p))
+        assert p.max() > 0.0
+        for c in range(3):
+            sigma = max(x[..., c].std(), 1e-3) / np.sqrt(W * H * SPP)
+            assert abs(p[..., c].mean() - x[..., c].mean()) < 8 * sigma + 5e-3
+
     def test_sample_offset_extends_stream(self):
         # Chunk (0..4) + chunk (4..8) must equal one chunk (0..8): the same
         # accumulation contract as the XLA path (sums over disjoint sample
