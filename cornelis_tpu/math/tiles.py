@@ -89,6 +89,31 @@ class FrameTiling:
         return self._tiles[k]
 
 
+def tile_major_order(width: int, height: int, tile_w: int = 32, tile_h: int = 32):
+    """Pixel ids (row-major frame indices) reordered tile-major.
+
+    This is FrameTiling as a *sharding spec* (SURVEY section 2 #10): the
+    mesh render permutes its pixel axis into this order before splitting it
+    over the `tiles` mesh axis, so each device owns whole 32x32-ish image
+    tiles -- the reference's unit of parallel work (src/Render.cpp:335-354)
+    -- instead of thin row bands. Returns a numpy uint32 permutation of
+    range(width*height); pure host math (static shapes feed jit).
+    """
+    import numpy as np
+
+    tiling = FrameTiling(width, height, tile_w, tile_h)
+    ids = np.empty(width * height, np.uint32)
+    k = 0
+    for t in tiling:
+        for j in range(t.min_j, t.max_j + 1):
+            row = j * width
+            ids[k : k + t.width] = np.arange(
+                row + t.min_i, row + t.max_i + 1, dtype=np.uint32
+            )
+            k += t.width
+    return ids
+
+
 def split_evenly(n: int, parts: int) -> List[Tuple[int, int]]:
     """Split range(n) into `parts` contiguous (start, size) chunks whose sizes
     differ by at most one. Used to assign pixel rows / ray ranges to devices."""

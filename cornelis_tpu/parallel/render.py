@@ -53,6 +53,7 @@ def _check_divisible(value: int, by: int, what: str) -> None:
         "max_depth",
         "unroll_bounces",
         "sampler",
+        "tile_size",
     ),
 )
 def render_chunk_mesh(
@@ -68,15 +69,19 @@ def render_chunk_mesh(
     max_depth: int,
     unroll_bounces: bool = False,
     sampler: str = "uniform",
+    tile_size: int = 32,
 ) -> Array:
     """Render one sample chunk over the mesh; returns (H, W, 3) radiance
     sums, identical (modulo float reduction order when spp is sharded) to
     `integrator.render_chunk`.
 
-    Pixels are sharded over `tiles`, the chunk's samples over `samples`;
-    per-pixel partial sums are psum'd over `samples`. The output carries a
-    P('tiles') row sharding -- on a real pod each host device_get()s only
-    the rows it owns.
+    Pixels are permuted tile-major (FrameTiling as the sharding spec: each
+    device owns whole tile_size x tile_size image tiles, the reference's
+    parallel grain, src/Render.cpp:327) and sharded over `tiles`; the
+    chunk's samples over `samples`, with per-pixel partial sums psum'd over
+    `samples`. RNG keys depend only on (pixel, sample) ids, so the image is
+    invariant to both the mesh shape and the tile size. tile_size=0 falls
+    back to flat row-band splitting.
     """
     n_tiles = mesh.shape[TILE_AXIS]
     n_samp = mesh.shape[SAMPLE_AXIS]
@@ -84,7 +89,13 @@ def render_chunk_mesh(
     _check_divisible(num_pixels, n_tiles, "pixel count")
     _check_divisible(spp_chunk, n_samp, "spp chunk")
 
-    pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
+    if tile_size > 0:
+        from ..math.tiles import tile_major_order
+
+        perm = tile_major_order(width, height, tile_size, tile_size)
+        pixel_ids = jnp.asarray(perm)  # static permutation, baked at trace
+    else:
+        pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
     sample_idx = sample_offset + jnp.arange(spp_chunk, dtype=jnp.uint32)
 
     def shard_fn(scene_rep, key_rep, px_shard, samp_shard):
@@ -116,6 +127,12 @@ def render_chunk_mesh(
         out_specs=P(TILE_AXIS, None),
         check_vma=False,
     )(scene, root_key, pixel_ids, sample_idx)
+    if tile_size > 0:
+        # Un-permute: row k of img is the radiance of pixel perm[k].
+        import numpy as np
+
+        inv = np.argsort(perm).astype(np.int32)
+        img = img[inv]
     img = img.reshape(height, width, 3)
     # Keep the row ownership explicit for downstream consumers.
     return jax.lax.with_sharding_constraint(

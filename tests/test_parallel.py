@@ -84,3 +84,31 @@ def test_session_mesh_path_matches_single_device(tmp_path):
         cornell_box(), RenderOptions(**common, mesh_shape=(4, 2))
     ).render()
     np.testing.assert_allclose(meshed.image, single.image, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tile_size", [8, 12, 0])
+def test_tile_sharding_invariance(scene, reference_image, tile_size):
+    # FrameTiling as the sharding spec (math/tiles.py tile_major_order):
+    # the image must be bit-identical whatever the tile decomposition --
+    # 8 (exact multiple, 16 tiles), 12 (ragged spill tiles), 0 (flat
+    # row-band fallback) -- because keys depend on pixel ids, not batch
+    # position, and only the `tiles` axis is sharded (no psum).
+    mesh = make_mesh((8, 1))
+    img = np.asarray(
+        render_chunk_mesh(
+            scene, make_key(3), jnp.uint32(0), mesh=mesh, tile_size=tile_size, **COMMON
+        )
+    )
+    np.testing.assert_array_equal(img, reference_image)
+
+
+def test_tile_major_order_is_permutation():
+    from cornelis_tpu.math.tiles import tile_major_order
+
+    for w, h, t in ((32, 32, 8), (20, 12, 8), (7, 5, 3)):
+        perm = tile_major_order(w, h, t, t)
+        assert sorted(perm.tolist()) == list(range(w * h))
+    # First tile's pixels come first (row-major inside the tile).
+    perm = tile_major_order(8, 8, 4, 4)
+    assert perm[:4].tolist() == [0, 1, 2, 3]
+    assert perm[4:8].tolist() == [8, 9, 10, 11]
