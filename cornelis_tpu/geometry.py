@@ -227,17 +227,62 @@ def sdf_normal(kind: Array, params: Array, q: Vec3, h: Array) -> Vec3:
     return normalize(g)
 
 
-def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
+def _rot3(rot, v: Vec3) -> Vec3:
+    """Apply a 3x3 rotation given as a doubly-indexable row-major table
+    (a (3, 3) jnp array slice or a nested tuple of Python floats -- the
+    latter is how the Pallas megakernel bakes it)."""
+    return Vec3(
+        rot[0][0] * v.x + rot[0][1] * v.y + rot[0][2] * v.z,
+        rot[1][0] * v.x + rot[1][1] * v.y + rot[1][2] * v.z,
+        rot[2][0] * v.x + rot[2][1] * v.y + rot[2][2] * v.z,
+    )
+
+
+def _rot3_t(rot, v: Vec3) -> Vec3:
+    """Apply the transpose (inverse) of the rotation in _rot3."""
+    return Vec3(
+        rot[0][0] * v.x + rot[1][0] * v.y + rot[2][0] * v.z,
+        rot[0][1] * v.x + rot[1][1] * v.y + rot[2][1] * v.z,
+        rot[0][2] * v.x + rot[1][2] * v.y + rot[2][2] * v.z,
+    )
+
+
+def sdf_candidate(
+    o: Vec3,
+    d: Vec3,
+    kind: Array,
+    center: Array,
+    params: Array,
+    rot=None,
+    scale=None,
+):
     """Sphere-trace one SDF primitive for the whole wavefront.
 
     Returns (t, p, n, valid) with t in the ray's own parameterization
     (supports non-normalized directions like the analytic kernels). The
     march runs a fixed SPHERE_TRACE_STEPS trips; converged/escaped lanes
     freeze their t via masks.
+
+    rot/scale (optional): baked object transform -- `rot` is the
+    world-to-local rotation (row-major 3x3), `scale` the uniform object
+    scale. Query points rotate into the object frame and distances scale
+    back to world: d_world(p) = s * d_local(R_wl (p - c) / s). Normals
+    come from the local gradient rotated back to world.
     """
     deg = _degenerate(d)
     dlen = jnp.sqrt(jnp.where(deg, 1.0, mag2(d)))
     dn = Vec3(d.x / dlen, d.y / dlen, d.z / dlen)
+
+    def to_local(qw: Vec3) -> Vec3:
+        q = _rot3(rot, qw) if rot is not None else qw
+        if scale is not None:
+            inv = 1.0 / scale
+            q = Vec3(q.x * inv, q.y * inv, q.z * inv)
+        return q
+
+    def world_dist(qw: Vec3) -> Array:
+        dist = sdf_distance(kind, params, to_local(qw))
+        return dist * scale if scale is not None else dist
 
     def step(_, carry):
         # `done` is carried as a float mask (1.0 / 0.0): the march also runs
@@ -245,8 +290,7 @@ def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
         # vectors in loop carries.
         t, done_f = carry
         p = ray_at(o, dn, t)
-        q = p - center
-        dist = sdf_distance(kind, params, q)
+        dist = world_dist(p - center)
         eps = SDF_EPS * jnp.maximum(1.0, t)
         hit = jnp.abs(dist) < eps
         escaped = t > SDF_MAX_T
@@ -264,8 +308,7 @@ def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
     )
 
     p = ray_at(o, dn, t_world)
-    q = p - center
-    final_dist = sdf_distance(kind, params, q)
+    final_dist = world_dist(p - center)
     eps = SDF_EPS * jnp.maximum(1.0, t_world)
     valid = (
         ~deg
@@ -273,7 +316,11 @@ def sdf_candidate(o: Vec3, d: Vec3, kind: Array, center: Array, params: Array):
         & (t_world > SDF_MIN_T)
         & (t_world <= SDF_MAX_T)
     )
-    n = sdf_normal(kind, params, q, eps)
+    # Gradient in the object frame, rotated back to world (uniform scale
+    # cancels under normalize). Tap spacing converts to local units.
+    h_local = eps / scale if scale is not None else eps
+    n_local = sdf_normal(kind, params, to_local(p - center), h_local)
+    n = _rot3_t(rot, n_local) if rot is not None else n_local
     # Convert world-space march distance to the ray's parameterization.
     t = jnp.where(valid, t_world / dlen, INF)
     return t, p, n, valid
@@ -340,8 +387,10 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     )
 
     def sdf_step(best: Hit, obj):
-        kind, cx, cy, cz, params, material = obj
-        t, p, n, valid = sdf_candidate(o, d, kind, Vec3(cx, cy, cz), params)
+        kind, cx, cy, cz, params, material, rot, scale = obj
+        t, p, n, valid = sdf_candidate(
+            o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
+        )
         return _update_closest(best, t, p, n, material, valid), None
 
     best, _ = jax.lax.scan(
@@ -354,6 +403,8 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             scene.sdf_center.z,
             scene.sdf_params,
             scene.sdf_material,
+            scene.sdf_rot,
+            scene.sdf_scale,
         ),
         unroll=True,
     )

@@ -119,6 +119,8 @@ def scene_to_host(scene: SceneArrays) -> HostScene:
             float(g(scene.sdf_center.z)[i]),
             tuple(float(v) for v in g(scene.sdf_params)[i]),
             int(g(scene.sdf_material)[i]),
+            tuple(tuple(float(v) for v in row) for row in g(scene.sdf_rot)[i]),
+            float(g(scene.sdf_scale)[i]),
         )
         for i in range(scene.num_sdfs)
     )
@@ -172,11 +174,13 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
             jnp.broadcast_to(n.z, shape),
         )
         state = update(state, (t, p, n, valid, mid))
-    for kind, cx, cy, cz, params, mid in scene.sdfs:
+    for kind, cx, cy, cz, params, mid, rot, scale in scene.sdfs:
         # Shared sphere-trace with the XLA path (geometry.sdf_candidate);
-        # kind/params embed as literals, the march's fori_loop stays a
-        # loop (not unrolled) in the kernel.
-        t, p, n, valid = sdf_candidate(o, d, kind, Vec3(cx, cy, cz), params)
+        # kind/params/rot/scale embed as literals, the march's fori_loop
+        # stays a loop (not unrolled) in the kernel.
+        t, p, n, valid = sdf_candidate(
+            o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
+        )
         state = update(state, (t, p, n, valid, mid))
     best_t, hit_any, bp, bn, bm = state
     return best_t, bp, bn, bm, hit_any

@@ -50,10 +50,15 @@ class SceneArrays(NamedTuple):
     plane_material: Array
     # Implicit (SDF / level-set) surfaces: (K,) + (K, 4) params
     # (sphere-traced; our NanoVDB-level-set stand-in, SURVEY §2 #18).
+    # sdf_rot is the world-to-local rotation (K, 3, 3) and sdf_scale the
+    # uniform object scale -- baked from the optional object transform
+    # (identity / 1.0 by default); they make boxes and tori orientable.
     sdf_kind: Array
     sdf_center: Vec3
     sdf_params: Array
     sdf_material: Array
+    sdf_rot: Array
+    sdf_scale: Array
     # Materials: (M,)
     mat_albedo: Vec3
     mat_emission: Vec3
@@ -99,31 +104,71 @@ def compile_scene(descr: SceneDescription) -> SceneArrays:
         descr.camera.horizontal_fov,
     )
 
+    import numpy as np
+
+    from ..math.linalg import decompose_trs
+
+    def trs(obj):
+        """(R, t, s) of the object's optional transform (identity default)."""
+        if obj.transform is None:
+            return np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 1.0
+        return decompose_trs(obj.transform)
+
+    def apply_pt(r, t, s, p):
+        return tuple((s * (r @ np.asarray(p, np.float32)) + t).tolist())
+
     spheres = descr.spheres
-    sphere_center = _stack_vec3([s.center for s in spheres])
-    sphere_radius = jnp.asarray([s.radius for s in spheres], jnp.float32)
+    sphere_trs = [trs(s) for s in spheres]
+    sphere_center = _stack_vec3(
+        [apply_pt(r, t, s, sp.center) for (r, t, s), sp in zip(sphere_trs, spheres)]
+    )
+    sphere_radius = jnp.asarray(
+        [s * sp.radius for (_, _, s), sp in zip(sphere_trs, spheres)], jnp.float32
+    )
     sphere_material = jnp.asarray(
         [s.material if s.material is not None else 0 for s in spheres], jnp.int32
     )
 
     planes = descr.planes
-    plane_normal = _stack_vec3([p.normal for p in planes])
-    plane_point = _stack_vec3([p.point for p in planes])
-    plane_width = jnp.asarray([p.extents[0] for p in planes], jnp.float32)
-    plane_height = jnp.asarray([p.extents[1] for p in planes], jnp.float32)
+    plane_trs = [trs(p) for p in planes]
+    plane_normal = _stack_vec3(
+        [tuple((r @ np.asarray(p.normal, np.float32)).tolist())
+         for (r, _, _), p in zip(plane_trs, planes)]
+    )
+    plane_point = _stack_vec3(
+        [apply_pt(r, t, s, p.point) for (r, t, s), p in zip(plane_trs, planes)]
+    )
+    plane_width = jnp.asarray(
+        [s * p.extents[0] for (_, _, s), p in zip(plane_trs, planes)], jnp.float32
+    )
+    plane_height = jnp.asarray(
+        [s * p.extents[1] for (_, _, s), p in zip(plane_trs, planes)], jnp.float32
+    )
     plane_material = jnp.asarray(
         [p.material if p.material is not None else 0 for p in planes], jnp.int32
     )
 
     sdfs = descr.sdfs
+    sdf_trs = [trs(s) for s in sdfs]
     sdf_kind = jnp.asarray([SDF_KINDS.index(s.kind) for s in sdfs], jnp.int32)
-    sdf_center = _stack_vec3([s.center for s in sdfs])
+    sdf_center = _stack_vec3(
+        [apply_pt(r, t, s, sd.center) for (r, t, s), sd in zip(sdf_trs, sdfs)]
+    )
     sdf_params = jnp.asarray(
         [tuple(s.params) + (0.0,) * (4 - len(s.params)) for s in sdfs], jnp.float32
     ).reshape(len(sdfs), 4)
     sdf_material = jnp.asarray(
         [s.material if s.material is not None else 0 for s in sdfs], jnp.int32
     )
+    # World-to-local rotation = R^T; the march rotates query points into the
+    # object frame and scales distances back to world (geometry.py).
+    sdf_rot = jnp.asarray(
+        np.stack([r.T for (r, _, _) in sdf_trs], axis=0)
+        if sdfs
+        else np.zeros((0, 3, 3), np.float32),
+        jnp.float32,
+    )
+    sdf_scale = jnp.asarray([s for (_, _, s) in sdf_trs], jnp.float32)
 
     mats = descr.materials
     if not mats:
@@ -143,6 +188,8 @@ def compile_scene(descr: SceneDescription) -> SceneArrays:
         sdf_center=sdf_center,
         sdf_params=sdf_params,
         sdf_material=sdf_material,
+        sdf_rot=sdf_rot,
+        sdf_scale=sdf_scale,
         mat_albedo=_stack_vec3([m.albedo for m in mats]),
         mat_emission=_stack_vec3([m.emissive for m in mats]),
         mat_tint=_stack_vec3([m.reflection_tint for m in mats]),

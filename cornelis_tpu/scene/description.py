@@ -35,6 +35,15 @@ class MaterialDescription:
     ior: float = 1.5
 
 
+
+# Optional object-to-world transform: a row-major 4x4 (nested lists/tuples)
+# restricted to translate * rotate * uniform-scale, validated and baked to
+# world-space parameters at compile (math/linalg.py decompose_trs). The
+# reference stages this capability (empty Transform, Math.hpp:273; SIMD
+# matrixMultiply with no caller, Linalg.cpp:43-53); here it works.
+Transform4 = Optional[list]
+
+
 @dataclass
 class SphereDescription:
     """Defaults match SceneDescription.hpp:30-35."""
@@ -42,6 +51,7 @@ class SphereDescription:
     center: F3 = (0.0, 0.0, 0.0)
     radius: float = 1.0
     material: Optional[int] = None
+    transform: Transform4 = None
 
 
 @dataclass
@@ -53,6 +63,7 @@ class PlaneDescription:
     point: F3 = (0.0, 0.0, 0.0)
     extents: F3 = (1000.0, 1000.0, 0.0)
     material: Optional[int] = None
+    transform: Transform4 = None
 
 
 @dataclass
@@ -72,6 +83,7 @@ class SDFDescription:
     center: F3 = (0.0, 0.0, 0.0)
     params: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
     material: Optional[int] = None
+    transform: Transform4 = None  # enables ORIENTED boxes / tori
 
 
 SDF_KINDS = ("sphere", "box", "torus")
