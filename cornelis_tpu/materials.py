@@ -332,3 +332,14 @@ def layered_sample(
 def emission(params: MaterialParams) -> RGB:
     """StandardMaterial::emission (Materials.hpp:333): position-independent."""
     return params.emission
+
+
+# Deliberate omission: the reference's LambertBRDF (Materials.hpp:308-323)
+# has NO counterpart here. It is dead code in the reference -- nothing
+# constructs it (StandardMaterial, the only material reachable from the
+# scene API, hardwires LayeredBRDF at Materials.hpp:325-338) -- and it is
+# internally inconsistent: its pdf() returns 1/(4 pi) while its inherited
+# sampler draws from the uniform *hemisphere* (density 1/(2 pi)). A
+# Lambert-like response is expressible anyway: roughness=0 turns the
+# Oren-Nayar base into albedo/pi exactly (oren_nayar_ab(0) = (1, 0)). See
+# COMPAT.md R7.
