@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
         "single-device dispatch.",
     )
     p.add_argument(
+        "--tile-size",
+        type=int,
+        default=32,
+        help="Image-tile edge for mesh pixel sharding (reference grain "
+        "32x32, src/Render.cpp:327); 0 = flat row-band split. Only with "
+        "--mesh.",
+    )
+    p.add_argument(
         "--coordinator",
         default=None,
         metavar="HOST:PORT",
@@ -206,6 +214,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         standard_srgb=args.standard_srgb,
         checkpoint=args.checkpoint,
         mesh_shape=parse_mesh(args.mesh),
+        tile_size=args.tile_size,
         sampler=args.sampler,
     )
     options.validate()

@@ -210,7 +210,14 @@ def _gather_materials_const(materials: tuple, ids: Array) -> MaterialParams:
     )
 
 
-def _make_kernel(scene: HostScene, width: int, height: int, max_depth: int):
+def _make_kernel(
+    scene: HostScene,
+    width: int,
+    height: int,
+    max_depth: int,
+    sampler: str = "uniform",
+    index_bits: int = 32,
+):
     cam = _const_camera(scene.camera)
 
     def kernel(key_ref, px_ref, si_ref, r_ref, g_ref, b_ref):
@@ -219,8 +226,25 @@ def _make_kernel(scene: HostScene, width: int, height: int, max_depth: int):
         px = px_ref[:]
         si = si_ref[:]
 
+        if sampler == "sobol":
+            # Same per-pixel scramble seed derivation as the XLA path
+            # (rng.make_ray_streams): hash32(pixel ^ hash32(root_bits));
+            # hash32(root_bits) arrives precomputed in the SMEM row, so
+            # draws are BIT-IDENTICAL across backends.
+            from ..sampling import hash32, sobol_pair
+
+            seed = hash32(px ^ key_ref[0, 2])
+
+            def draw_pair(stream, pair):
+                return sobol_pair(seed, si, stream, pair, index_bits)
+
+        else:
+
+            def draw_pair(stream, pair):
+                return pair_uniforms(k0, k1, px, si, stream, pair)
+
         # Camera jitter + ray generation (stream 0).
-        u0, u1 = pair_uniforms(k0, k1, px, si, np.uint32(0), 0)
+        u0, u1 = draw_pair(np.uint32(0), 0)
         # Pixel coordinates fit in int32; Mosaic has no uint32->f32 cast.
         fi = (px % np.uint32(width)).astype(jnp.int32).astype(jnp.float32)
         fj = (px // np.uint32(width)).astype(jnp.int32).astype(jnp.float32)
@@ -250,8 +274,8 @@ def _make_kernel(scene: HostScene, width: int, height: int, max_depth: int):
             # Draw schedule mirrors integrator._bounce: pair 0 = BSDF lobe
             # (x0, x1); pair 1 = (x2 layer choice, RR).
             stream = (depth + 1).astype(jnp.uint32)
-            x0, x1 = pair_uniforms(k0, k1, px, si, stream, 0)
-            x2, u_rr = pair_uniforms(k0, k1, px, si, stream, 1)
+            x0, x1 = draw_pair(stream, 0)
+            x2, u_rr = draw_pair(stream, 1)
 
             prob = russian_roulette_probability(tput, depth)
             survive = u_rr <= prob
@@ -308,19 +332,24 @@ def _build_renderer(
     num_blocks: int,
     rows: int,
     interpret: bool,
+    sampler: str,
+    index_bits: int,
 ):
     if not interpret:
         from ..utils.logging import logger
 
         logger.info(
-            "Compiling Pallas megakernel for %dx%d (max_depth %d, %d blocks)"
-            " -- first dispatch takes ~15 s cold, instant once cached.",
+            "Compiling Pallas megakernel for %dx%d (max_depth %d, %d blocks,"
+            " sampler %s) -- first dispatch takes %s cold, instant once"
+            " cached on disk.",
             width,
             height,
             max_depth,
             num_blocks,
+            sampler,
+            "~15 s" if sampler == "uniform" else "minutes (in-kernel sobol)",
         )
-    kernel = _make_kernel(scene, width, height, max_depth)
+    kernel = _make_kernel(scene, width, height, max_depth, sampler, index_bits)
     block = (rows, LANES)
     out_shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.float32)
 
@@ -328,7 +357,7 @@ def _build_renderer(
         kernel,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(block, lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -355,15 +384,22 @@ def render_chunk_pallas(
     max_depth: int,
     rows: int = DEFAULT_ROWS,
     interpret: bool = False,
+    sampler: str = "uniform",
 ) -> Array:
     """Drop-in counterpart of integrator.render_chunk on the megakernel.
 
     Returns (H, W, 3) radiance *sums* over the chunk's spp. Same determinism
-    contract (results depend only on (seed, pixel, sample)); bit-different
-    draws from the XLA path, identical distribution.
+    contract (results depend only on (seed, pixel, sample)). sampler
+    "uniform" draws bit-different numbers from the XLA path (explicit
+    threefry vs jax.random), identical distribution; "sobol" shares
+    sampling.py's draw pipeline with the XLA path bit-for-bit (verified
+    in-kernel on TPU). Even with identical draws, pixel-exact agreement
+    holds only in interpret mode: on TPU the Mosaic and XLA transcendental
+    lowerings differ by ulps, and knife-edge path decisions (RR, closest
+    hit) amplify those into a sparse set of divergent paths -- the images
+    agree in distribution, not pixelwise.
 
-    Unsupported here (callers fall back to XLA): Sobol sampling,
-    differentiable mode.
+    Unsupported here (callers fall back to XLA): differentiable mode.
     """
     host = scene_to_host(scene)
 
@@ -384,10 +420,21 @@ def render_chunk_pallas(
     px = px.reshape(num_blocks * rows, LANES)
     si = si.reshape(num_blocks * rows, LANES)
 
-    key2 = jax.random.key_data(root_key).astype(jnp.uint32).reshape(1, 2)
+    # SMEM row: [k0, k1, hash32(sobol_root_bits)] -- the third word feeds
+    # the in-kernel per-pixel Sobol scramble seeds (same derivation as
+    # rng.make_ray_streams, so sobol draws match the XLA path bitwise).
+    from ..sampling import hash32
 
+    key_words = jax.random.key_data(root_key).astype(jnp.uint32).reshape(2)
+    sobol_root = hash32(
+        jax.random.bits(jax.random.fold_in(root_key, 0x50B0), (), jnp.uint32)
+    )
+    key2 = jnp.concatenate([key_words, sobol_root.reshape(1)]).reshape(1, 3)
+
+    index_bits = max(1, (spp_total - 1).bit_length())
     renderer = _build_renderer(
-        host, width, height, max_depth, num_blocks, rows, interpret
+        host, width, height, max_depth, num_blocks, rows, interpret,
+        sampler, index_bits,
     )
     r, g, b = renderer(key2, px, si)
 

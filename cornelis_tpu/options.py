@@ -43,6 +43,10 @@ class RenderOptions:
     # The TPU-native replacement for the reference's TBB tile pool
     # (Render.cpp:335-354): pixels shard over `tiles`, spp over `samples`.
     mesh_shape: Optional[tuple] = None
+    # Image-tile edge for the mesh pixel sharding (FrameTiling as a
+    # sharding spec; the reference's 32x32 parallel grain, Render.cpp:327).
+    # 0 = flat row-band split. Ignored without mesh_shape.
+    tile_size: int = 32
     # Sample sequence: "uniform" (threefry; the reference's pseudo-random
     # sampling in distribution) or "sobol" (Owen-scrambled low-discrepancy;
     # the reference's planned QMC milestone, Sampling.hpp placeholder).
@@ -59,6 +63,8 @@ class RenderOptions:
             raise ValueError("Resolution must be positive.")
         if self.max_depth <= 0:
             raise ValueError("max_depth must be positive.")
+        if self.tile_size < 0:
+            raise ValueError("tile_size must be >= 0 (0 = flat split).")
         if self.sampler not in ("uniform", "sobol"):
             raise ValueError(
                 f"sampler must be 'uniform' or 'sobol' (not {self.sampler!r})."

@@ -112,16 +112,15 @@ class RenderSession:
         spp_chunk = opts.resolved_spp_chunk()
 
         # Backend selection: the Pallas megakernel handles single-device
-        # TPU dispatches of the uniform-sampler path (analytic + SDF
-        # primitives); the XLA wavefront covers everything else (Sobol,
-        # meshes, CPU).
+        # TPU dispatches (uniform or sobol samplers, analytic + SDF
+        # primitives); the XLA wavefront covers everything else (mesh
+        # sharding, CPU, differentiable mode).
         use_pallas = opts.backend == "pallas"
         if opts.backend == "auto":
             import jax
 
             use_pallas = (
                 jax.default_backend() not in ("cpu",)
-                and opts.sampler == "uniform"
                 and opts.mesh_shape is None
             )
 
@@ -166,15 +165,18 @@ class RenderSession:
             )
             if mesh is not None:
                 chunk_sum = render_chunk_mesh(
-                    self.scene, key, np.uint32(sample_offset), mesh=mesh, **common
+                    self.scene,
+                    key,
+                    np.uint32(sample_offset),
+                    mesh=mesh,
+                    tile_size=opts.tile_size,
+                    **common,
                 )
             elif use_pallas:
                 from .ops.pallas_integrator import render_chunk_pallas  # lazy
 
-                pallas_kw = dict(common)
-                pallas_kw.pop("sampler")  # megakernel is uniform-only
                 chunk_sum = render_chunk_pallas(
-                    self.scene, key, np.uint32(sample_offset), **pallas_kw
+                    self.scene, key, np.uint32(sample_offset), **common
                 )
             else:
                 chunk_sum = render_chunk(

@@ -89,12 +89,17 @@ def owen_scramble(x: Array, seed: Array) -> Array:
     return reverse_bits32(_laine_karras(reverse_bits32(x), seed.astype(_U32)))
 
 
-def sobol2d_bits(index: Array) -> tuple[Array, Array]:
+def sobol2d_bits(index: Array, bits: int = 32) -> tuple[Array, Array]:
     """Unscrambled base-2 (0,2) Sobol point as uint32 bit patterns.
 
     dim 0: van der Corput; dim 1: Sobol' second-dimension recurrence,
     XOR of direction numbers v_j = (2^31 >> j-ish via v ^= v >> 1) over the
     set bits of the index.
+
+    `bits`: how many low index bits can be set (ceil-log2 of the sample
+    budget). Trips beyond that XOR nothing, so truncating the recurrence
+    is exact -- it just saves VPU work and Pallas compile time (the loop
+    runs inside the megakernel's bounce loop).
     """
     index = index.astype(_U32)
     d0 = reverse_bits32(index)
@@ -106,7 +111,7 @@ def sobol2d_bits(index: Array) -> tuple[Array, Array]:
 
     d1, _, _ = jax.lax.fori_loop(
         0,
-        32,
+        max(1, min(32, bits)),
         body,
         (
             jnp.zeros_like(index),
@@ -119,8 +124,14 @@ def sobol2d_bits(index: Array) -> tuple[Array, Array]:
 
 def bits_to_unit_float(x: Array) -> Array:
     """uint32 -> float32 in [0, 1): (x >> 8) * 2^-24, the reference's
-    FloatFromBits quantization (external/XoshiroCpp.hpp:649-654)."""
-    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    FloatFromBits quantization (external/XoshiroCpp.hpp:649-654).
+
+    The top-24-bit value fits in int32, so the cast goes through int32 --
+    Mosaic (Pallas TPU) has no direct uint32 -> float32 conversion, and
+    this module also runs inside the megakernel."""
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )
 
 
 def sobol_uniforms(
@@ -140,17 +151,35 @@ def sobol_uniforms(
     Sobol construction. index_bits: the sample-index range is [0, 2^index_bits)
     (ceil-log2 of spp); the shuffle permutes exactly that range.
     """
-    stream_u = jnp.asarray(stream).astype(_U32)
-    pixel_seed = pixel_seed.astype(_U32)
-
-    def group_key(pair: int, role: int) -> Array:
-        return hash32(pixel_seed ^ hash32(stream_u * _U32(8) + _U32(4 * pair + role)))
-
     cols = []
     for pair in range((num + 1) // 2):
-        idx = shuffle_index(sample_idx, index_bits, group_key(pair, 0))
-        d0, d1 = sobol2d_bits(idx)
-        cols.append(bits_to_unit_float(owen_scramble(d0, group_key(pair, 1))))
+        u0, u1 = sobol_pair(pixel_seed, sample_idx, stream, pair, index_bits)
+        cols.append(u0)
         if len(cols) < num:
-            cols.append(bits_to_unit_float(owen_scramble(d1, group_key(pair, 2))))
+            cols.append(u1)
     return jnp.stack(cols[:num], axis=-1)
+
+
+def sobol_pair(
+    pixel_seed: Array,
+    sample_idx: Array,
+    stream: Array,
+    pair: int,
+    index_bits: int = 32,
+) -> tuple[Array, Array]:
+    """One Owen-scrambled (0,2) draw pair, returned as two arrays of the
+    lanes' shape (no stacking -- the form the Pallas megakernel consumes;
+    sobol_uniforms is built on this, so the two backends draw BIT-IDENTICAL
+    sobol numbers for the same (pixel_seed, sample, stream, pair))."""
+    stream_u = jnp.asarray(stream).astype(_U32)
+    seed = pixel_seed.astype(_U32)
+
+    def group_key(role: int) -> Array:
+        return hash32(seed ^ hash32(stream_u * _U32(8) + _U32(4 * pair + role)))
+
+    idx = shuffle_index(sample_idx, index_bits, group_key(0))
+    d0, d1 = sobol2d_bits(idx, index_bits)
+    return (
+        bits_to_unit_float(owen_scramble(d0, group_key(1))),
+        bits_to_unit_float(owen_scramble(d1, group_key(2))),
+    )

@@ -197,6 +197,25 @@ class TestMegakernelInterpret:
             sigma = max(x[..., c].std(), 1e-3) / np.sqrt(W * H * SPP)
             assert abs(p[..., c].mean() - x[..., c].mean()) < 8 * sigma + 5e-3
 
+    def test_sobol_matches_xla_bitwise_draws(self):
+        # In sobol mode both backends run sampling.py's exact pipeline with
+        # identical (pixel_seed, sample, stream) keys, so the rendered
+        # images agree to float tolerance (only op-fusion order differs).
+        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+
+        scene = compile_scene(cornell_box())
+        key = make_key(9)
+        kw = dict(width=16, height=16, spp_chunk=8, spp_total=8, max_depth=4)
+        p = np.asarray(
+            render_chunk_pallas(
+                scene, key, np.uint32(0), interpret=True, sampler="sobol", **kw
+            )
+        )
+        x = np.asarray(
+            render_chunk(scene, key, jnp.uint32(0), sampler="sobol", **kw)
+        )
+        np.testing.assert_allclose(p, x, rtol=1e-4, atol=1e-4)
+
     def test_sample_offset_extends_stream(self):
         # Chunk (0..4) + chunk (4..8) must equal one chunk (0..8): the same
         # accumulation contract as the XLA path (sums over disjoint sample
