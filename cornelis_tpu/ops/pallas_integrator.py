@@ -340,14 +340,13 @@ def _build_renderer(
 
         logger.info(
             "Compiling Pallas megakernel for %dx%d (max_depth %d, %d blocks,"
-            " sampler %s) -- first dispatch takes %s cold, instant once"
+            " sampler %s) -- first dispatch takes ~15 s cold, instant once"
             " cached on disk.",
             width,
             height,
             max_depth,
             num_blocks,
             sampler,
-            "~15 s" if sampler == "uniform" else "minutes (in-kernel sobol)",
         )
     kernel = _make_kernel(scene, width, height, max_depth, sampler, index_bits)
     block = (rows, LANES)

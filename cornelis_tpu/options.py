@@ -77,6 +77,16 @@ class RenderOptions:
     def resolved_spp_chunk(self) -> int:
         if self.spp_chunk > 0:
             return min(self.spp_chunk, self.samples_aa)
-        target_rays = 2 * 1024 * 1024
+        # Auto chunk size: big enough to amortize dispatch overhead, small
+        # enough for responsive progress/abort. TPU sustains much larger
+        # dispatches than CPU (the megakernel keeps paths VMEM-resident),
+        # so target 8M rays there vs 2M on host platforms.
+        try:
+            import jax
+
+            on_accel = jax.default_backend() not in ("cpu",)
+        except Exception:  # pragma: no cover - jax always present
+            on_accel = False
+        target_rays = (8 if on_accel else 2) * 1024 * 1024
         chunk = max(1, target_rays // (self.width * self.height))
         return min(chunk, self.samples_aa)

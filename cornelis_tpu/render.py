@@ -153,6 +153,21 @@ class RenderSession:
         start = time.perf_counter()
         last_logged_pct = -1.0
 
+        # Without a checkpoint, chunk sums accumulate ON DEVICE and move to
+        # the host film once at the end: dispatches pipeline asynchronously
+        # (JAX dispatch is async; a per-chunk np.asarray would block the
+        # host on every chunk and serialize the device). Checkpointing
+        # needs host data per chunk, so it keeps the synchronous path.
+        device_accum = None
+        accum_samples = 0
+
+        def drain_accumulator():
+            nonlocal device_accum, accum_samples
+            if device_accum is not None:
+                film.add_samples(np.asarray(device_accum), accum_samples)
+                device_accum = None
+                accum_samples = 0
+
         for chunk_index, sample_offset in enumerate(chunk_starts):
             this_chunk = min(spp_chunk, opts.samples_aa - sample_offset)
             common = dict(
@@ -182,7 +197,13 @@ class RenderSession:
                 chunk_sum = render_chunk(
                     self.scene, key, np.uint32(sample_offset), **common
                 )
-            film.add_samples(np.asarray(chunk_sum), this_chunk)
+            if opts.checkpoint:
+                film.add_samples(np.asarray(chunk_sum), this_chunk)
+            else:
+                device_accum = (
+                    chunk_sum if device_accum is None else device_accum + chunk_sum
+                )
+                accum_samples += this_chunk
 
             progress.chunks_completed = chunk_index + 1
             progress.samples_completed = sample_offset + this_chunk
@@ -216,6 +237,18 @@ class RenderSession:
                 if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
                     status = RenderStatus.ABORTED
                     break
+
+        # Block on the pipelined device work and move it to the host film;
+        # recompute the rate over *completed* (not just dispatched) work.
+        drain_accumulator()
+        progress.elapsed_seconds = time.perf_counter() - start
+        if progress.elapsed_seconds > 0:
+            progress.rays_per_second = (
+                opts.width
+                * opts.height
+                * (progress.samples_completed - next_sample)
+                / progress.elapsed_seconds
+            )
 
         if status != RenderStatus.ABORTED:
             status = RenderStatus.DONE
