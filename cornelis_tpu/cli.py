@@ -83,6 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
         "single-device dispatch.",
     )
     p.add_argument(
+        "--time-budget",
+        type=float,
+        default=0.0,
+        metavar="SECONDS",
+        help="Progressive mode: stop after this many seconds (the "
+        "reference's planned 'sample for x seconds', README Milestone 4); "
+        "the image uses the samples actually taken. 0 = render all --spp.",
+    )
+    p.add_argument(
         "--tile-size",
         type=int,
         default=32,
@@ -216,6 +225,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_shape=parse_mesh(args.mesh),
         tile_size=args.tile_size,
         sampler=args.sampler,
+        time_budget_s=args.time_budget,
     )
     options.validate()
 

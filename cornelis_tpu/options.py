@@ -55,6 +55,12 @@ class RenderOptions:
     # TPU when eligible (uniform sampler, no SDFs, no mesh sharding) and the
     # XLA wavefront otherwise; "xla" / "pallas" force a path.
     backend: str = "auto"
+    # Progressive mode: stop dispatching new sample chunks once this many
+    # seconds have elapsed (the reference's planned "sample for x seconds",
+    # README Milestone 4). The image normalizes by the samples actually
+    # taken; combine with `checkpoint` to keep refining across runs.
+    # 0 = no time budget (render all samples_aa).
+    time_budget_s: float = 0.0
 
     def validate(self) -> None:
         if self.samples_aa <= 0:
@@ -65,6 +71,8 @@ class RenderOptions:
             raise ValueError("max_depth must be positive.")
         if self.tile_size < 0:
             raise ValueError("tile_size must be >= 0 (0 = flat split).")
+        if self.time_budget_s < 0:
+            raise ValueError("time_budget_s must be >= 0 (0 = unlimited).")
         if self.sampler not in ("uniform", "sobol"):
             raise ValueError(
                 f"sampler must be 'uniform' or 'sobol' (not {self.sampler!r})."

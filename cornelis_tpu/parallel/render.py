@@ -21,6 +21,7 @@ tests/test_parallel.py).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -134,6 +135,158 @@ def render_chunk_mesh(
         inv = np.argsort(perm).astype(np.int32)
         img = img[inv]
     img = img.reshape(height, width, 3)
+    # Keep the row ownership explicit for downstream consumers.
+    return jax.lax.with_sharding_constraint(
+        img, NamedSharding(mesh, P(TILE_AXIS, None, None))
+        if height % n_tiles == 0
+        else NamedSharding(mesh, P(None, None, None)),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_mesh_pallas_renderer(
+    host,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    spp_total: int,
+    max_depth: int,
+    sampler: str,
+    tile_size: int,
+    rows: int,
+    interpret: bool,
+):
+    """Jitted (key2, pixel_ids, sample_idx) -> (H, W, 3) over the mesh,
+    with the Pallas megakernel as each device's body. Cached per static
+    config (host scene tuples are hashable by construction)."""
+    from ..ops.pallas_integrator import LANES, _build_renderer
+
+    import numpy as np
+
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    num_pixels = width * height
+    px_per_dev = num_pixels // n_tiles
+    spp_per_dev = spp_chunk // n_samp
+    n_dev_rays = px_per_dev * spp_per_dev
+    block_rays = rows * LANES
+    n_pad = (n_dev_rays + block_rays - 1) // block_rays * block_rays
+    dev_blocks = n_pad // block_rays
+
+    index_bits = max(1, (spp_total - 1).bit_length())
+    renderer = _build_renderer(
+        host, width, height, max_depth, dev_blocks, rows, interpret,
+        sampler, index_bits,
+    )
+
+    inv = None
+    if tile_size > 0:
+        from ..math.tiles import tile_major_order
+
+        inv = np.argsort(
+            tile_major_order(width, height, tile_size, tile_size)
+        ).astype(np.int32)
+
+    def shard_fn(key_rep, px_shard, samp_shard):
+        px = jnp.repeat(px_shard, spp_per_dev)
+        si = jnp.tile(samp_shard, px_per_dev)
+        if n_pad != n_dev_rays:
+            pad = jnp.zeros(n_pad - n_dev_rays, jnp.uint32)
+            px = jnp.concatenate([px, pad])
+            si = jnp.concatenate([si, pad])
+        px = px.reshape(dev_blocks * rows, LANES)
+        si = si.reshape(dev_blocks * rows, LANES)
+        r, g, b = renderer(key_rep, px, si)
+
+        def pixel_sum(c: Array) -> Array:
+            return (
+                c.reshape(-1)[:n_dev_rays]
+                .reshape(px_per_dev, spp_per_dev)
+                .sum(axis=1)
+            )
+
+        part = jnp.stack([pixel_sum(r), pixel_sum(g), pixel_sum(b)], axis=-1)
+        if n_samp > 1:
+            part = jax.lax.psum(part, SAMPLE_AXIS)
+        return part
+
+    @jax.jit
+    def run(key2, pixel_ids, sample_idx):
+        img = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(TILE_AXIS), P(SAMPLE_AXIS)),
+            out_specs=P(TILE_AXIS, None),
+            check_vma=False,
+        )(key2, pixel_ids, sample_idx)
+        if inv is not None:
+            img = img[inv]
+        return img.reshape(height, width, 3)
+
+    return run
+
+
+def render_chunk_mesh_pallas(
+    scene: SceneArrays,
+    root_key: Array,
+    sample_offset,
+    *,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    spp_total: int,
+    max_depth: int,
+    sampler: str = "uniform",
+    tile_size: int = 32,
+    rows: int = 0,
+    interpret: bool = False,
+) -> Array:
+    """The Pallas megakernel under the device mesh: each device runs the
+    VMEM-resident bounce loop (ops/pallas_integrator.py) on its own pixel
+    tiles and sample slice; per-pixel partial sums are psum'd over the
+    `samples` axis. This composes the two TPU-native pieces -- the
+    megakernel inside, `shard_map` collectives outside -- into the pod-
+    scale render path; per-ray results are identical to the single-device
+    megakernel (keys depend only on (pixel, sample) ids).
+
+    interpret=True lowers the kernel to plain jnp (CPU CI on the virtual
+    mesh exercises exactly this composition).
+    """
+    from ..ops.pallas_integrator import DEFAULT_ROWS, scene_to_host
+    from ..sampling import hash32
+
+    rows = rows or DEFAULT_ROWS
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    num_pixels = width * height
+    _check_divisible(num_pixels, n_tiles, "pixel count")
+    _check_divisible(spp_chunk, n_samp, "spp chunk")
+
+    if tile_size > 0:
+        from ..math.tiles import tile_major_order
+
+        pixel_ids = jnp.asarray(
+            tile_major_order(width, height, tile_size, tile_size)
+        )
+    else:
+        pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
+    sample_idx = jnp.asarray(sample_offset, jnp.uint32) + jnp.arange(
+        spp_chunk, dtype=jnp.uint32
+    )
+
+    key_words = jax.random.key_data(root_key).astype(jnp.uint32).reshape(2)
+    sobol_root = hash32(
+        jax.random.bits(jax.random.fold_in(root_key, 0x50B0), (), jnp.uint32)
+    )
+    key2 = jnp.concatenate([key_words, sobol_root.reshape(1)]).reshape(1, 3)
+
+    run = _build_mesh_pallas_renderer(
+        scene_to_host(scene), mesh, width, height, spp_chunk, spp_total,
+        max_depth, sampler, tile_size, rows, interpret,
+    )
+    img = run(key2, pixel_ids, sample_idx)
     # Keep the row ownership explicit for downstream consumers.
     return jax.lax.with_sharding_constraint(
         img, NamedSharding(mesh, P(TILE_AXIS, None, None))

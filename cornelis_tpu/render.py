@@ -111,18 +111,15 @@ class RenderSession:
         key = make_key(opts.seed)
         spp_chunk = opts.resolved_spp_chunk()
 
-        # Backend selection: the Pallas megakernel handles single-device
-        # TPU dispatches (uniform or sobol samplers, analytic + SDF
-        # primitives); the XLA wavefront covers everything else (mesh
-        # sharding, CPU, differentiable mode).
+        # Backend selection: the Pallas megakernel handles TPU dispatches
+        # (uniform or sobol samplers, analytic + SDF primitives, with or
+        # without a device mesh -- render_chunk_mesh_pallas runs it under
+        # shard_map); the XLA wavefront covers CPU and differentiable mode.
         use_pallas = opts.backend == "pallas"
         if opts.backend == "auto":
             import jax
 
-            use_pallas = (
-                jax.default_backend() not in ("cpu",)
-                and opts.mesh_shape is None
-            )
+            use_pallas = jax.default_backend() not in ("cpu",)
 
         mesh = None
         if opts.mesh_shape is not None:
@@ -179,14 +176,26 @@ class RenderSession:
                 sampler=opts.sampler,
             )
             if mesh is not None:
-                chunk_sum = render_chunk_mesh(
-                    self.scene,
-                    key,
-                    np.uint32(sample_offset),
-                    mesh=mesh,
-                    tile_size=opts.tile_size,
-                    **common,
-                )
+                if use_pallas:
+                    from .parallel import render_chunk_mesh_pallas  # lazy
+
+                    chunk_sum = render_chunk_mesh_pallas(
+                        self.scene,
+                        key,
+                        np.uint32(sample_offset),
+                        mesh=mesh,
+                        tile_size=opts.tile_size,
+                        **common,
+                    )
+                else:
+                    chunk_sum = render_chunk_mesh(
+                        self.scene,
+                        key,
+                        np.uint32(sample_offset),
+                        mesh=mesh,
+                        tile_size=opts.tile_size,
+                        **common,
+                    )
             elif use_pallas:
                 from .ops.pallas_integrator import render_chunk_pallas  # lazy
 
@@ -204,6 +213,14 @@ class RenderSession:
                     chunk_sum if device_accum is None else device_accum + chunk_sum
                 )
                 accum_samples += this_chunk
+                if opts.time_budget_s > 0:
+                    # Progressive mode meters wall clock, so the chunk must
+                    # actually finish before the elapsed check below --
+                    # async dispatch would otherwise submit everything in
+                    # milliseconds and the budget would never bind.
+                    import jax
+
+                    jax.block_until_ready(device_accum)
 
             progress.chunks_completed = chunk_index + 1
             progress.samples_completed = sample_offset + this_chunk
@@ -237,6 +254,22 @@ class RenderSession:
                 if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
                     status = RenderStatus.ABORTED
                     break
+
+            # Progressive time budget (the reference's planned "sample for
+            # x seconds", README Milestone 4): stop dispatching once the
+            # budget elapses; completed chunks stay in the estimate.
+            if (
+                opts.time_budget_s > 0
+                and time.perf_counter() - start >= opts.time_budget_s
+                and chunk_index + 1 < len(chunk_starts)
+            ):
+                logger.info(
+                    "Time budget (%.1f s) reached after %d/%d samples.",
+                    opts.time_budget_s,
+                    progress.samples_completed,
+                    opts.samples_aa,
+                )
+                break
 
         # Block on the pipelined device work and move it to the host film;
         # recompute the rate over *completed* (not just dispatched) work.

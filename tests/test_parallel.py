@@ -112,3 +112,58 @@ def test_tile_major_order_is_permutation():
     perm = tile_major_order(8, 8, 4, 4)
     assert perm[:4].tolist() == [0, 1, 2, 3]
     assert perm[4:8].tolist() == [8, 9, 10, 11]
+
+
+class TestMeshPallas:
+    """The megakernel under shard_map (interpret mode on the CPU mesh)."""
+
+    def test_matches_single_device_megakernel(self, scene):
+        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+        from cornelis_tpu.parallel import render_chunk_mesh_pallas
+
+        single = np.asarray(
+            render_chunk_pallas(
+                scene, make_key(3), np.uint32(0), interpret=True, **COMMON
+            )
+        )
+        for shape in ((8, 1), (4, 2), (2, 4)):
+            mesh = make_mesh(shape)
+            img = np.asarray(
+                render_chunk_mesh_pallas(
+                    scene,
+                    make_key(3),
+                    jnp.uint32(0),
+                    mesh=mesh,
+                    interpret=True,
+                    **COMMON,
+                )
+            )
+            # Same draws (keys by pixel/sample ids), same kernel math; only
+            # the samples-axis psum changes float reduction order.
+            atol = 0.0 if shape[1] == 1 else 1e-4
+            np.testing.assert_allclose(img, single, atol=atol, rtol=1e-5)
+
+    def test_sobol_mesh_megakernel(self, scene):
+        from cornelis_tpu.parallel import render_chunk_mesh_pallas
+
+        mesh = make_mesh((4, 2))
+        img = np.asarray(
+            render_chunk_mesh_pallas(
+                scene,
+                make_key(3),
+                jnp.uint32(0),
+                mesh=mesh,
+                interpret=True,
+                sampler="sobol",
+                **COMMON,
+            )
+        )
+        xla = np.asarray(
+            render_chunk_mesh(
+                scene, make_key(3), jnp.uint32(0), mesh=make_mesh((4, 2)),
+                sampler="sobol", **COMMON,
+            )
+        )
+        # Sobol draws are bit-shared between backends; on CPU interpret
+        # mode the physics lowering matches too.
+        np.testing.assert_allclose(img, xla, rtol=1e-4, atol=1e-4)

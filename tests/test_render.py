@@ -99,3 +99,25 @@ class TestSession:
         a = session.render()
         b = session.render()
         assert np.array_equal(a.image, b.image)
+
+
+class TestTimeBudget:
+    def test_budget_stops_early_and_normalizes(self):
+        # A vanishing budget stops after the first chunk; the image is
+        # normalized by the samples actually taken (progressive mode, the
+        # reference's README Milestone 4).
+        result = render_scene(
+            sphere_on_plane(), _opts(samples_aa=64, time_budget_s=1e-6)
+        )
+        assert result.status == RenderStatus.DONE
+        assert result.film.sample_count == 2  # exactly one 2-spp chunk
+        full = render_scene(sphere_on_plane(), _opts(samples_aa=2))
+        assert np.allclose(result.image, full.image, rtol=1e-5, atol=1e-6)
+
+    def test_zero_budget_renders_everything(self):
+        result = render_scene(sphere_on_plane(), _opts(time_budget_s=0.0))
+        assert result.film.sample_count == 4
+
+    def test_negative_budget_rejected(self):
+        with pytest.raises(ValueError):
+            _opts(time_budget_s=-1.0).validate()
