@@ -83,6 +83,16 @@ def build_parser() -> argparse.ArgumentParser:
         "single-device dispatch.",
     )
     p.add_argument(
+        "--integrator",
+        choices=("path", "nee"),
+        default="path",
+        help="Estimator: 'path' replicates the reference exactly "
+        "(emission-at-every-hit, no light sampling); 'nee' adds next-event "
+        "estimation toward emissive spheres + the corrected sampler "
+        "density -- unbiased, far lower variance for small lights "
+        "(extension; XLA backend).",
+    )
+    p.add_argument(
         "--time-budget",
         type=float,
         default=0.0,
@@ -225,6 +235,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_shape=parse_mesh(args.mesh),
         tile_size=args.tile_size,
         sampler=args.sampler,
+        integrator=args.integrator,
         time_budget_s=args.time_budget,
     )
     options.validate()

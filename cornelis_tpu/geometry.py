@@ -44,15 +44,26 @@ Array = jnp.ndarray
 INF = jnp.inf
 
 
+# Primitive kinds recorded in Hit.kind (the NEE integrator needs to know
+# whether an emitter hit is a light-sampled sphere or a path-sampled
+# plane/SDF; the plain integrator ignores it).
+KIND_NONE = -1
+KIND_SPHERE = 0
+KIND_PLANE = 1
+KIND_SDF = 2
+
+
 class Hit(NamedTuple):
     """Closest-hit record for a wavefront of rays (IntersectionData analog,
-    Geometry.hpp:7-19): t, position, shading normal, material id, hit mask."""
+    Geometry.hpp:7-19): t, position, shading normal, material id, hit mask,
+    primitive kind."""
 
     t: Array
     position: Vec3
     normal: Vec3
     material: Array
     hit: Array  # bool: t < inf
+    kind: Array  # int32: KIND_* of the closest primitive (-1 on miss)
 
 
 def _empty_hit(like: Array) -> Hit:
@@ -69,6 +80,7 @@ def _empty_hit(like: Array) -> Hit:
         normal=Vec3(zeros, zeros, zeros),
         material=zeros.astype(jnp.int32),
         hit=zeros.astype(bool),
+        kind=jnp.full_like(like, KIND_NONE).astype(jnp.int32),
     )
 
 
@@ -77,7 +89,10 @@ def _degenerate(d: Vec3) -> Array:
     return is_almost_zero(d.x) & is_almost_zero(d.y) & is_almost_zero(d.z)
 
 
-def _update_closest(best: Hit, t: Array, p: Vec3, n: Vec3, material: Array, valid: Array) -> Hit:
+def _update_closest(
+    best: Hit, t: Array, p: Vec3, n: Vec3, material: Array, valid: Array,
+    kind: int = KIND_NONE,
+) -> Hit:
     closer = valid & (best.t > t)
     return Hit(
         t=jnp.where(closer, t, best.t),
@@ -93,6 +108,7 @@ def _update_closest(best: Hit, t: Array, p: Vec3, n: Vec3, material: Array, vali
         ),
         material=jnp.where(closer, material, best.material),
         hit=best.hit | closer,
+        kind=jnp.where(closer, kind, best.kind),
     )
 
 
@@ -341,7 +357,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         center_x, center_y, center_z, radius, material = params
         center = Vec3(center_x, center_y, center_z)
         t, p, n, valid = sphere_candidate(o, d, center, radius)
-        return _update_closest(best, t, p, n, material, valid), None
+        return _update_closest(best, t, p, n, material, valid, KIND_SPHERE), None
 
     best, _ = jax.lax.scan(
         sphere_step,
@@ -367,7 +383,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             jnp.broadcast_to(n.y, shape),
             jnp.broadcast_to(n.z, shape),
         )
-        return _update_closest(best, t, p, n, material, valid), None
+        return _update_closest(best, t, p, n, material, valid, KIND_PLANE), None
 
     best, _ = jax.lax.scan(
         plane_step,
@@ -391,7 +407,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         t, p, n, valid = sdf_candidate(
             o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
         )
-        return _update_closest(best, t, p, n, material, valid), None
+        return _update_closest(best, t, p, n, material, valid, KIND_SDF), None
 
     best, _ = jax.lax.scan(
         sdf_step,

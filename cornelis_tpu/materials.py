@@ -303,6 +303,17 @@ def layered_pdf(wi: Vec3, wo: Vec3, n: Vec3, params: MaterialParams) -> Array:
     return 0.5 * (hemisphere_pdf() + glossy_pdf(wi, wo, n, alpha))
 
 
+def layered_pdf_true(wi: Vec3, wo: Vec3, n: Vec3, params: MaterialParams) -> Array:
+    """The ACTUAL sampling density of layered_sample's 50/50 mixture:
+    0.5 * (uniform hemisphere + the glossy sampler's true density). The
+    reference's layered_pdf underweights the glossy component by 2x (the
+    replicated quirk, see glossy_sampler_density); the corrected-estimator
+    integrator mode (integrator="nee") divides by this instead, and MIS
+    weights need it."""
+    alpha = glossy_alpha(params.roughness)
+    return 0.5 * (hemisphere_pdf() + glossy_sampler_density(wi, wo, n, alpha))
+
+
 def layered_sample(
     wo: Vec3, x0: Array, x1: Array, x2: Array, basis: Basis, params: MaterialParams
 ):

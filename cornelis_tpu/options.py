@@ -55,6 +55,13 @@ class RenderOptions:
     # TPU when eligible (uniform sampler, no SDFs, no mesh sharding) and the
     # XLA wavefront otherwise; "xla" / "pallas" force a path.
     backend: str = "auto"
+    # Integrator estimator: "path" replicates the reference exactly
+    # (emission at every hit, no light sampling, the quirky averaged
+    # layered pdf -- required for golden match); "nee" is the corrected
+    # extension (next-event estimation toward emissive spheres + the true
+    # sampler density) -- unbiased, typically an order of magnitude lower
+    # variance for small lights. XLA backend only.
+    integrator: str = "path"
     # Progressive mode: stop dispatching new sample chunks once this many
     # seconds have elapsed (the reference's planned "sample for x seconds",
     # README Milestone 4). The image normalizes by the samples actually
@@ -80,6 +87,15 @@ class RenderOptions:
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(
                 f"backend must be auto, xla, or pallas (not {self.backend!r})."
+            )
+        if self.integrator not in ("path", "nee"):
+            raise ValueError(
+                f"integrator must be 'path' or 'nee' (not {self.integrator!r})."
+            )
+        if self.integrator == "nee" and self.backend == "pallas":
+            raise ValueError(
+                "integrator='nee' runs on the XLA wavefront only "
+                "(backend 'auto' or 'xla')."
             )
 
     def resolved_spp_chunk(self) -> int:

@@ -55,6 +55,7 @@ def _check_divisible(value: int, by: int, what: str) -> None:
         "unroll_bounces",
         "sampler",
         "tile_size",
+        "mode",
     ),
 )
 def render_chunk_mesh(
@@ -71,6 +72,7 @@ def render_chunk_mesh(
     unroll_bounces: bool = False,
     sampler: str = "uniform",
     tile_size: int = 32,
+    mode: str = "path",
 ) -> Array:
     """Render one sample chunk over the mesh; returns (H, W, 3) radiance
     sums, identical (modulo float reduction order when spp is sharded) to
@@ -111,6 +113,7 @@ def render_chunk_mesh(
             max_depth=max_depth,
             unroll_bounces=unroll_bounces,
             sampler=sampler,
+            mode=mode,
         )
         if n_samp > 1:
             part = jax.lax.psum(part, SAMPLE_AXIS)

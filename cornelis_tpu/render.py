@@ -119,7 +119,10 @@ class RenderSession:
         if opts.backend == "auto":
             import jax
 
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and opts.integrator == "path"
+            )
 
         mesh = None
         if opts.mesh_shape is not None:
@@ -174,18 +177,20 @@ class RenderSession:
                 spp_total=opts.samples_aa,
                 max_depth=opts.max_depth,
                 sampler=opts.sampler,
+                mode=opts.integrator,
             )
             if mesh is not None:
                 if use_pallas:
                     from .parallel import render_chunk_mesh_pallas  # lazy
 
+                    pallas_kw = {k: v for k, v in common.items() if k != "mode"}
                     chunk_sum = render_chunk_mesh_pallas(
                         self.scene,
                         key,
                         np.uint32(sample_offset),
                         mesh=mesh,
                         tile_size=opts.tile_size,
-                        **common,
+                        **pallas_kw,
                     )
                 else:
                     chunk_sum = render_chunk_mesh(
@@ -199,8 +204,9 @@ class RenderSession:
             elif use_pallas:
                 from .ops.pallas_integrator import render_chunk_pallas  # lazy
 
+                pallas_kw = {k: v for k, v in common.items() if k != "mode"}
                 chunk_sum = render_chunk_pallas(
-                    self.scene, key, np.uint32(sample_offset), **common
+                    self.scene, key, np.uint32(sample_offset), **pallas_kw
                 )
             else:
                 chunk_sum = render_chunk(
