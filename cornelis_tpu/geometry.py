@@ -64,6 +64,7 @@ class Hit(NamedTuple):
     material: Array
     hit: Array  # bool: t < inf
     kind: Array  # int32: KIND_* of the closest primitive (-1 on miss)
+    prim: Array  # int32: index within the kind's table (-1 on miss)
 
 
 def _empty_hit(like: Array) -> Hit:
@@ -81,6 +82,7 @@ def _empty_hit(like: Array) -> Hit:
         material=zeros.astype(jnp.int32),
         hit=zeros.astype(bool),
         kind=jnp.full_like(like, KIND_NONE).astype(jnp.int32),
+        prim=jnp.full_like(like, -1).astype(jnp.int32),
     )
 
 
@@ -91,7 +93,7 @@ def _degenerate(d: Vec3) -> Array:
 
 def _update_closest(
     best: Hit, t: Array, p: Vec3, n: Vec3, material: Array, valid: Array,
-    kind: int = KIND_NONE,
+    kind: int = KIND_NONE, prim: Array = -1,
 ) -> Hit:
     closer = valid & (best.t > t)
     return Hit(
@@ -109,6 +111,7 @@ def _update_closest(
         material=jnp.where(closer, material, best.material),
         hit=best.hit | closer,
         kind=jnp.where(closer, kind, best.kind),
+        prim=jnp.where(closer, prim, best.prim),
     )
 
 
@@ -354,10 +357,13 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     best = _empty_hit(o.x)
 
     def sphere_step(best: Hit, params):
-        center_x, center_y, center_z, radius, material = params
+        center_x, center_y, center_z, radius, material, idx = params
         center = Vec3(center_x, center_y, center_z)
         t, p, n, valid = sphere_candidate(o, d, center, radius)
-        return _update_closest(best, t, p, n, material, valid, KIND_SPHERE), None
+        return (
+            _update_closest(best, t, p, n, material, valid, KIND_SPHERE, idx),
+            None,
+        )
 
     best, _ = jax.lax.scan(
         sphere_step,
@@ -368,6 +374,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             scene.sphere_center.z,
             scene.sphere_radius,
             scene.sphere_material,
+            jnp.arange(scene.num_spheres, dtype=jnp.int32),
         ),
         unroll=True,
     )

@@ -76,6 +76,10 @@ class PathState(NamedTuple):
     active: Array
     depth: Array  # int32 scalar
     streams: RayStreams  # per-ray sampler state
+    # True mixture density of the direction sampled at the previous vertex
+    # (MIS balance weights in nee mode; carried as 1.0 and ignored in the
+    # replicated path mode).
+    prev_pdf: Array
 
 
 def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
@@ -87,6 +91,55 @@ def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
 
 def _luminance(c: RGB) -> Array:
     return 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+
+
+def _light_probs(scene: SceneArrays):
+    """Power-proportional sphere-light selection distribution: (S,) probs
+    (luminance(L_e) * r^2, normalized) and a has-light flag."""
+    weights = []
+    for s in range(scene.num_spheres):
+        mid = scene.sphere_material[s]
+        le = RGB(
+            scene.mat_emission.x[mid],
+            scene.mat_emission.y[mid],
+            scene.mat_emission.z[mid],
+        )
+        weights.append(_luminance(le) * scene.sphere_radius[s] ** 2)
+    w = jnp.stack(weights)
+    total = jnp.sum(w)
+    has_light = total > 0.0
+    return w / jnp.where(has_light, total, 1.0), has_light
+
+
+def _cone_pdf(d2: Array, radius: Array) -> Array:
+    """Uniform-cone solid-angle density toward a sphere at squared
+    distance d2 (0 where the query point is inside the sphere)."""
+    sin2max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+    one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
+    pdf = 1.0 / (2.0 * PI * one_minus)
+    outside = d2 > (radius * radius) * (1.0001**2)
+    return jnp.where(outside, pdf, 0.0)
+
+
+def _light_pdf_for_hit(
+    scene: SceneArrays, probs: Array, from_p: Vec3, sphere_idx: Array
+) -> Array:
+    """Joint NEE density (selection x cone solid angle) of having sampled,
+    from `from_p`, the direction that hit sphere `sphere_idx` -- the
+    counter-strategy pdf for MIS at a BSDF-sampled emitter hit. Zero for
+    non-sphere hits (idx < 0) and zero-probability spheres."""
+    idx = jnp.maximum(sphere_idx, 0)
+    cx = scene.sphere_center.x[idx]
+    cy = scene.sphere_center.y[idx]
+    cz = scene.sphere_center.z[idx]
+    radius = scene.sphere_radius[idx]
+    p_sel = probs[idx]
+    d2 = (
+        (cx - from_p.x) ** 2 + (cy - from_p.y) ** 2 + (cz - from_p.z) ** 2
+    )
+    pdf = p_sel * _cone_pdf(d2, radius)
+    return jnp.where(sphere_idx >= 0, pdf, 0.0)
 
 
 def _sample_sphere_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
@@ -104,21 +157,7 @@ def _sample_sphere_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
         z3 = Vec3(zeros, zeros, zeros)
         return z3, zeros, jnp.ones_like(p.x), RGB(zeros, zeros, zeros), zeros.astype(bool)
 
-    # Per-sphere emitted-power weights: luminance(L_e) * r^2 (area factor;
-    # the 4 pi constant cancels in the normalization).
-    weights = []
-    for s in range(n_sph):
-        mid = scene.sphere_material[s]
-        le = RGB(
-            scene.mat_emission.x[mid],
-            scene.mat_emission.y[mid],
-            scene.mat_emission.z[mid],
-        )
-        weights.append(_luminance(le) * scene.sphere_radius[s] ** 2)
-    w = jnp.stack(weights)  # (S,) traced scalars
-    total = jnp.sum(w)
-    has_light = total > 0.0
-    probs = w / jnp.where(has_light, total, 1.0)
+    probs, has_light = _light_probs(scene)
 
     # Categorical draw via the cumulative distribution (unrolled; S small).
     cum = jnp.cumsum(probs)
@@ -195,8 +234,12 @@ def _bounce(
     continuation weight divides by the sampler's TRUE mixture density
     (layered_pdf_true) instead of the reference's half-weighted quirk --
     unbiased and typically an order of magnitude lower variance for small
-    lights. No MIS yet: sharp glossy reflections of lights converge slower
-    than BSDF sampling would (documented trade; COMPAT.md extensions)."""
+    lights. Both strategies are MIS-combined with the balance heuristic:
+    BSDF-sampled emitter hits carry the previous vertex's true direction
+    density (state.prev_pdf) and are weighted against the NEE density of
+    the same hit; NEE samples are weighted against the BSDF density of the
+    same direction -- sharp glossy reflections of small lights converge at
+    BSDF-sampling speed, soft shadows at light-sampling speed (Veach 95)."""
     nee = mode == "nee"
     hit = intersect_scene(scene, state.origin, state.direction)
     active = state.active & hit.hit
@@ -204,15 +247,27 @@ def _bounce(
     params = gather_materials(scene, hit.material)
 
     # Emission pickup. path: L += throughput * L_e at every hit (no NEE;
-    # Render.cpp:187). nee: sphere emitters only at depth 0 (NEE covers
-    # them at every later vertex); non-sampled emitter kinds always.
+    # Render.cpp:187). nee: sphere-emitter hits are MIS-weighted against
+    # the light-sampling strategy (weight 1 at depth 0 and for emitter
+    # kinds NEE cannot sample -- planes/SDFs).
     contrib = state.throughput * emission(params)
     if nee:
-        count_emission = active & (
-            (state.depth == 0) | (hit.kind != KIND_SPHERE)
-        )
-    else:
-        count_emission = active
+        light_probs, _ = _light_probs(scene) if scene.num_spheres else (None, None)
+        emis_w = jnp.ones_like(state.prev_pdf)
+        if scene.num_spheres:
+            p_light_hit = _light_pdf_for_hit(
+                scene, light_probs, state.origin, hit.prim
+            )
+            mis_sphere = state.prev_pdf / jnp.maximum(
+                state.prev_pdf + p_light_hit, 1e-12
+            )
+            emis_w = jnp.where(
+                (state.depth > 0) & (hit.kind == KIND_SPHERE),
+                mis_sphere,
+                emis_w,
+            )
+        contrib = RGB(contrib.x * emis_w, contrib.y * emis_w, contrib.z * emis_w)
+    count_emission = active
     radiance = RGB(
         state.radiance.x + jnp.where(count_emission, contrib.x, 0.0),
         state.radiance.y + jnp.where(count_emission, contrib.y, 0.0),
@@ -248,8 +303,11 @@ def _bounce(
         occ = intersect_scene(scene, shadow_origin, wi_l)
         visible = ~occ.hit | (occ.t >= t_light * (1.0 - 1e-3))
         f_l = layered_eval(wi_l, w_out, hit.normal, params)
+        # Balance-heuristic weight vs the BSDF strategy for this direction.
+        p_bsdf_l = layered_pdf_true(wi_l, w_out, hit.normal, params)
+        mis_l = pdf_l / jnp.maximum(pdf_l + p_bsdf_l, 1e-12)
         nee_mask = active & valid_l & visible & (cos_l > 0.0)
-        nee_scale = jnp.where(nee_mask, cos_l / pdf_l, 0.0)
+        nee_scale = jnp.where(nee_mask, mis_l * cos_l / pdf_l, 0.0)
         nee_contrib = state.throughput * f_l * light_le * nee_scale
         radiance = RGB(
             radiance.x + jnp.where(nee_mask, nee_contrib.x, 0.0),
@@ -287,6 +345,9 @@ def _bounce(
         active=active,
         depth=state.depth + 1,
         streams=state.streams,
+        prev_pdf=jnp.where(active, pdf, state.prev_pdf)
+        if nee
+        else state.prev_pdf,
     )
 
 
@@ -329,6 +390,7 @@ def trace_paths(
         active=ones.astype(bool),
         depth=jnp.zeros((), jnp.int32),
         streams=keys,
+        prev_pdf=ones,
     )
 
     if unroll_bounces:

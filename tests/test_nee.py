@@ -174,3 +174,71 @@ class TestNoLights:
         img = _render(cornell_box(), "nee", spp=16, max_depth=8)
         assert np.all(np.isfinite(img))
         assert img.mean() > 0.1
+
+
+class TestMIS:
+    def test_glossy_highlight_matches_path_mode(self):
+        # A small bright light reflected in a near-mirror floor: without
+        # MIS, pure NEE converges miserably here (cone sampling rarely
+        # lands inside the sharp GGX lobe). With the balance heuristic the
+        # BSDF strategy carries the highlight, so a modest-spp nee render
+        # must agree with a high-spp path render in the highlight region.
+        s = SceneDescription()
+        s.set_camera(
+            PerspectiveCameraDescription(
+                origin=(0.0, 2.0, -6.0), look_at=(0.0, 0.0, 0.0), aspect=1.0
+            )
+        )
+        light = s.add_material(
+            MaterialDescription(albedo=(0, 0, 0), emissive=(200.0,) * 3)
+        )
+        mirror = s.add_material(
+            MaterialDescription(
+                albedo=(0.05, 0.05, 0.05),
+                roughness=0.12,
+                reflection_tint=(0.9, 0.9, 0.9),
+            )
+        )
+        s.add_plane(
+            PlaneDescription(
+                normal=(0, 1, 0), point=(0, 0, 0), extents=(30, 30, 0),
+                material=mirror,
+            )
+        )
+        s.add_sphere(
+            SphereDescription(center=(0.0, 4.0, 2.0), radius=0.4, material=light)
+        )
+        scene = compile_scene(s)
+        # NOTE: path mode is NOT the ground truth here -- its half-weighted
+        # glossy pdf (the replicated quirk) over-brightens sharp glossy
+        # bounces by up to 2x. The correct check is self-consistency of the
+        # unbiased estimator: a modest-spp nee render must match a high-spp
+        # nee render (different seed) in the highlight, which without MIS
+        # would be noise-dominated at this spp.
+        lo = _render(scene, "nee", W=48, H=48, spp=128, max_depth=4, seed=2)
+        hi = _render(scene, "nee", W=48, H=48, spp=1024, max_depth=4, seed=9)
+        floor = hi[24:, :, :].mean(axis=-1)
+        iy, ix = np.unravel_index(np.argmax(floor), floor.shape)
+        ys, xs = 24 + iy, ix
+        region = np.s_[max(ys - 3, 24) : ys + 4, max(xs - 3, 0) : xs + 4]
+        a = lo[region].mean()
+        b = hi[region].mean()
+        assert b > 0.3, "test scene lost its highlight"
+        assert abs(a - b) / b < 0.25, f"highlight nee@128 {a} vs nee@1024 {b}"
+        # And the path-mode highlight sits ~2x above the unbiased value
+        # (documents the quirk rather than hiding it).
+        path = _render(scene, "path", W=48, H=48, spp=512, max_depth=4, seed=7)
+        assert path[region].mean() > 1.4 * b
+
+    def test_furnace_still_exact_with_mis(self):
+        # MIS must not disturb the closed-form convergence (no sphere
+        # lights in the furnace: all weights are 1).
+        from test_furnace import ALBEDO, EMISSION, furnace_cube
+
+        img = _render(furnace_cube(), "nee", spp=128, max_depth=24, seed=8)
+        ior = 1.5
+        r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+        rho = ALBEDO * (1.0 - r0) * 20.0 / 21.0
+        expect = EMISSION / (1.0 - rho)
+        stderr = img.std() / np.sqrt(img.size / 3)
+        assert abs(img.mean() - expect) < 6 * stderr + 0.015
