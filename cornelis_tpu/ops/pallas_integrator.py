@@ -45,8 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..camera import Camera, generate_rays
 from ..geometry import plane_candidate, sdf_candidate, sphere_candidate
 from ..integrator import BOUNCE_EPSILON, russian_roulette_probability
-from ..materials import MaterialParams, layered_sample
-from ..math.vec import RGB, Vec3, construct_basis, dot
+from ..materials import (
+    MaterialParams,
+    layered_eval,
+    layered_pdf_true,
+    layered_sample,
+)
+from ..math.vec import PI, RGB, Vec3, construct_basis, dot
 from ..scene.compile import SceneArrays
 from .threefry import pair_uniforms
 
@@ -138,7 +143,9 @@ def _const_camera(cam: tuple) -> Camera:
 def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
     """Closest hit against the baked scene tables: fully unrolled object
     loop (spheres then planes, strict best_t > t update -- the semantics of
-    geometry._update_closest / src/Render.cpp:110-150)."""
+    geometry._update_closest / src/Render.cpp:110-150). Also tracks which
+    sphere (table index, -1 otherwise) the closest hit belongs to -- the
+    NEE mode's MIS weights need it."""
     shape = o.x.shape
     zero = jnp.zeros_like(o.x)
     best_t = jnp.full_like(o.x, jnp.inf)
@@ -146,9 +153,10 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
     bp = Vec3(zero, zero, zero)
     bn = Vec3(zero, zero, zero)
     bm = zero.astype(jnp.int32)
+    bs = jnp.full_like(bm, -1)
 
-    def update(best, cand):
-        best_t, hit_any, bp, bn, bm = best
+    def update(best, cand, sphere_idx=-1):
+        best_t, hit_any, bp, bn, bm, bs = best
         t, p, n, valid, mid = cand
         closer = valid & (best_t > t)
         sel = lambda a, b: jnp.where(closer, a, b)
@@ -158,12 +166,13 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
             Vec3(sel(p.x, bp.x), sel(p.y, bp.y), sel(p.z, bp.z)),
             Vec3(sel(n.x, bn.x), sel(n.y, bn.y), sel(n.z, bn.z)),
             jnp.where(closer, mid, bm),
+            jnp.where(closer, sphere_idx, bs),
         )
 
-    state = (best_t, hit_any, bp, bn, bm)
-    for cx, cy, cz, rad, mid in scene.spheres:
+    state = (best_t, hit_any, bp, bn, bm, bs)
+    for s_idx, (cx, cy, cz, rad, mid) in enumerate(scene.spheres):
         t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad)
-        state = update(state, (t, p, n, valid, mid))
+        state = update(state, (t, p, n, valid, mid), s_idx)
     for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
         normal = Vec3(nx, ny, nz)
         point = Vec3(px, py, pz)
@@ -182,8 +191,31 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
             o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
         )
         state = update(state, (t, p, n, valid, mid))
-    best_t, hit_any, bp, bn, bm = state
-    return best_t, bp, bn, bm, hit_any
+    best_t, hit_any, bp, bn, bm, bs = state
+    return best_t, bp, bn, bm, hit_any, bs
+
+
+def _light_table(scene: HostScene):
+    """Host-side power-proportional light-selection table over the baked
+    spheres: rows (prob, cumulative, cx, cy, cz, radius, (r, g, b) L_e),
+    or None when nothing emits. Pure Python floats -> kernel literals."""
+    rows = []
+    total = 0.0
+    for cx, cy, cz, rad, mid in scene.spheres:
+        le = scene.materials[mid][1]
+        lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
+        power = lum * rad * rad
+        rows.append([power, cx, cy, cz, rad, le])
+        total += power
+    if total <= 0.0:
+        return None
+    out = []
+    cum = 0.0
+    for power, cx, cy, cz, rad, le in rows:
+        prob = power / total
+        cum += prob
+        out.append((prob, cum, cx, cy, cz, rad, le))
+    return tuple(out)
 
 
 def _gather_materials_const(materials: tuple, ids: Array) -> MaterialParams:
@@ -217,8 +249,11 @@ def _make_kernel(
     max_depth: int,
     sampler: str = "uniform",
     index_bits: int = 32,
+    mode: str = "path",
 ):
     cam = _const_camera(scene.camera)
+    nee = mode == "nee"
+    lights = _light_table(scene) if nee else None
 
     def kernel(key_ref, px_ref, si_ref, r_ref, g_ref, b_ref):
         k0 = key_ref[0, 0]
@@ -257,14 +292,45 @@ def _make_kernel(
 
         def bounce(carry):
             # `active` is carried as a float mask (1.0 / 0.0): Mosaic fails
-            # to legalize i1 vectors in scf.while carries.
-            o, d, tput, rad, active_f, depth = carry
-            t, p, n, mid, hit = _intersect_const(scene, o, d)
+            # to legalize i1 vectors in scf.while carries. `prev_pdf`
+            # carries the previous vertex's true direction density (MIS).
+            o, d, tput, rad, active_f, prev_pdf, depth = carry
+            t, p, n, mid, hit, sph_idx = _intersect_const(scene, o, d)
             active = (active_f > 0.0) & hit
 
             params = _gather_materials_const(scene.materials, mid)
 
             contrib = tput * params.emission
+            if nee and lights is not None:
+                # MIS weight for reaching a light-sampled sphere emitter by
+                # BSDF sampling: prev_pdf / (prev_pdf + p_nee(hit)). Weight
+                # 1 at depth 0 and for plane/SDF emitters.
+                p_light = jnp.zeros_like(t)
+                for s_idx, (pr, _, lcx, lcy, lcz, lrad, _le) in enumerate(
+                    lights
+                ):
+                    d2 = (
+                        (lcx - o.x) ** 2 + (lcy - o.y) ** 2 + (lcz - o.z) ** 2
+                    )
+                    sin2max = jnp.clip(
+                        lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
+                    )
+                    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+                    cone = pr / (
+                        2.0 * PI * jnp.maximum(1.0 - cos_max, 1e-9)
+                    )
+                    cone = jnp.where(
+                        d2 > (lrad * lrad) * 1.0002, cone, 0.0
+                    )
+                    p_light = jnp.where(sph_idx == s_idx, cone, p_light)
+                w_emis = jnp.where(
+                    depth > 0,
+                    prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
+                    1.0,
+                )
+                contrib = RGB(
+                    contrib.x * w_emis, contrib.y * w_emis, contrib.z * w_emis
+                )
             rad = RGB(
                 rad.x + jnp.where(active, contrib.x, 0.0),
                 rad.y + jnp.where(active, contrib.y, 0.0),
@@ -272,7 +338,8 @@ def _make_kernel(
             )
 
             # Draw schedule mirrors integrator._bounce: pair 0 = BSDF lobe
-            # (x0, x1); pair 1 = (x2 layer choice, RR).
+            # (x0, x1); pair 1 = (x2 layer choice, RR); nee adds pair 2 =
+            # (light select, cone u1) and pair 3 = (cone u2, spare).
             stream = (depth + 1).astype(jnp.uint32)
             x0, x1 = draw_pair(stream, 0)
             x2, u_rr = draw_pair(stream, 1)
@@ -282,7 +349,79 @@ def _make_kernel(
 
             basis = construct_basis(n)
             w_out = -d
+
+            if nee and lights is not None:
+                u_sel, ul1 = draw_pair(stream, 2)
+                ul2, _spare = draw_pair(stream, 3)
+                # Select a light by the cumulative table (literals).
+                lcx = jnp.full_like(t, lights[0][2])
+                lcy = jnp.full_like(t, lights[0][3])
+                lcz = jnp.full_like(t, lights[0][4])
+                lrad = jnp.full_like(t, lights[0][5])
+                lpr = jnp.full_like(t, lights[0][0])
+                ler = jnp.full_like(t, lights[0][6][0])
+                leg = jnp.full_like(t, lights[0][6][1])
+                leb = jnp.full_like(t, lights[0][6][2])
+                for (pr, _, cx_, cy_, cz_, rad_, le_), (_, cum_prev, *_r) in zip(
+                    lights[1:], lights[:-1]
+                ):
+                    take = u_sel > cum_prev
+                    lcx = jnp.where(take, cx_, lcx)
+                    lcy = jnp.where(take, cy_, lcy)
+                    lcz = jnp.where(take, cz_, lcz)
+                    lrad = jnp.where(take, rad_, lrad)
+                    lpr = jnp.where(take, pr, lpr)
+                    ler = jnp.where(take, le_[0], ler)
+                    leg = jnp.where(take, le_[1], leg)
+                    leb = jnp.where(take, le_[2], leb)
+
+                to_c = Vec3(lcx - p.x, lcy - p.y, lcz - p.z)
+                d2 = to_c.x**2 + to_c.y**2 + to_c.z**2
+                dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                outside = dist > lrad * 1.0001
+                sin2max = jnp.clip(
+                    lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
+                )
+                cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+                one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
+                cos_t = 1.0 - ul1 * one_minus
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = 2.0 * PI * ul2
+                laxis = Vec3(to_c.x / dist, to_c.y / dist, to_c.z / dist)
+                lbasis = construct_basis(laxis)
+                wi_l = (
+                    lbasis.t * (sin_t * jnp.cos(phi))
+                    + lbasis.b * (sin_t * jnp.sin(phi))
+                    + lbasis.n * cos_t
+                )
+                t_light = dist * cos_t - jnp.sqrt(
+                    jnp.maximum(
+                        lrad * lrad - d2 * (1.0 - cos_t * cos_t), 0.0
+                    )
+                )
+                pdf_l = jnp.maximum(lpr / (2.0 * PI * one_minus), 1e-12)
+                cos_surf = dot(wi_l, n)
+                shadow_o = p + wi_l * BOUNCE_EPSILON
+                t_occ, _p2, _n2, _m2, occ_hit, _s2 = _intersect_const(
+                    scene, shadow_o, wi_l
+                )
+                visible = (~occ_hit) | (t_occ >= t_light * (1.0 - 1e-3))
+                f_l = layered_eval(wi_l, w_out, n, params)
+                p_bsdf_l = layered_pdf_true(wi_l, w_out, n, params)
+                mis_l = pdf_l / jnp.maximum(pdf_l + p_bsdf_l, 1e-12)
+                nee_mask = (
+                    active & outside & visible & (cos_surf > 0.0) & (t_light > 0.0)
+                )
+                nee_scale = jnp.where(nee_mask, mis_l * cos_surf / pdf_l, 0.0)
+                rad = RGB(
+                    rad.x + tput.x * f_l.x * ler * nee_scale,
+                    rad.y + tput.y * f_l.y * leg * nee_scale,
+                    rad.z + tput.z * f_l.z * leb * nee_scale,
+                )
+
             wi, pdf, f = layered_sample(w_out, x0, x1, x2, basis, params)
+            if nee:
+                pdf = layered_pdf_true(wi, w_out, n, params)
 
             new_o = p + wi * BOUNCE_EPSILON
             scale = jnp.abs(dot(wi, n)) / (pdf * prob)
@@ -296,6 +435,7 @@ def _make_kernel(
                 RGB(sel(new_tput.x, tput.x), sel(new_tput.y, tput.y), sel(new_tput.z, tput.z)),
                 rad,
                 jnp.where(active, 1.0, 0.0).astype(jnp.float32),
+                sel(pdf, prev_pdf) if nee else prev_pdf,
                 depth + 1,
             )
 
@@ -308,10 +448,11 @@ def _make_kernel(
             RGB(ones, ones, ones),
             RGB(zeros, zeros, zeros),
             ones,  # active mask as f32 (see bounce)
+            ones,  # prev_pdf (MIS carry; unused in path mode)
             depth0,
         )
         carry = jax.lax.while_loop(
-            lambda c: (c[5] < max_depth) & (jnp.max(c[4]) > 0.0),
+            lambda c: (c[6] < max_depth) & (jnp.max(c[4]) > 0.0),
             bounce,
             carry,
         )
@@ -334,6 +475,7 @@ def _build_renderer(
     interpret: bool,
     sampler: str,
     index_bits: int,
+    mode: str = "path",
 ):
     if not interpret:
         from ..utils.logging import logger
@@ -348,7 +490,9 @@ def _build_renderer(
             num_blocks,
             sampler,
         )
-    kernel = _make_kernel(scene, width, height, max_depth, sampler, index_bits)
+    kernel = _make_kernel(
+        scene, width, height, max_depth, sampler, index_bits, mode
+    )
     block = (rows, LANES)
     out_shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.float32)
 
@@ -384,6 +528,7 @@ def render_chunk_pallas(
     rows: int = DEFAULT_ROWS,
     interpret: bool = False,
     sampler: str = "uniform",
+    mode: str = "path",
 ) -> Array:
     """Drop-in counterpart of integrator.render_chunk on the megakernel.
 
@@ -397,6 +542,10 @@ def render_chunk_pallas(
     lowerings differ by ulps, and knife-edge path decisions (RR, closest
     hit) amplify those into a sparse set of divergent paths -- the images
     agree in distribution, not pixelwise.
+
+    mode="nee" runs the corrected estimator (NEE + MIS toward emissive
+    spheres; see integrator._bounce) entirely in-kernel, with the light
+    table baked as constants.
 
     Unsupported here (callers fall back to XLA): differentiable mode.
     """
@@ -433,7 +582,7 @@ def render_chunk_pallas(
     index_bits = max(1, (spp_total - 1).bit_length())
     renderer = _build_renderer(
         host, width, height, max_depth, num_blocks, rows, interpret,
-        sampler, index_bits,
+        sampler, index_bits, mode,
     )
     r, g, b = renderer(key2, px, si)
 

@@ -58,9 +58,10 @@ class RenderOptions:
     # Integrator estimator: "path" replicates the reference exactly
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected
-    # extension (next-event estimation toward emissive spheres + the true
-    # sampler density) -- unbiased, typically an order of magnitude lower
-    # variance for small lights. XLA backend only.
+    # extension (MIS-combined next-event estimation toward emissive
+    # spheres + the true sampler density) -- unbiased, typically an order
+    # of magnitude lower variance for small lights. Supported by both the
+    # XLA wavefront and the Pallas megakernel.
     integrator: str = "path"
     # Progressive mode: stop dispatching new sample chunks once this many
     # seconds have elapsed (the reference's planned "sample for x seconds",
@@ -92,11 +93,7 @@ class RenderOptions:
             raise ValueError(
                 f"integrator must be 'path' or 'nee' (not {self.integrator!r})."
             )
-        if self.integrator == "nee" and self.backend == "pallas":
-            raise ValueError(
-                "integrator='nee' runs on the XLA wavefront only "
-                "(backend 'auto' or 'xla')."
-            )
+
 
     def resolved_spp_chunk(self) -> int:
         if self.spp_chunk > 0:

@@ -159,6 +159,7 @@ def _build_mesh_pallas_renderer(
     tile_size: int,
     rows: int,
     interpret: bool,
+    mode: str = "path",
 ):
     """Jitted (key2, pixel_ids, sample_idx) -> (H, W, 3) over the mesh,
     with the Pallas megakernel as each device's body. Cached per static
@@ -180,7 +181,7 @@ def _build_mesh_pallas_renderer(
     index_bits = max(1, (spp_total - 1).bit_length())
     renderer = _build_renderer(
         host, width, height, max_depth, dev_blocks, rows, interpret,
-        sampler, index_bits,
+        sampler, index_bits, mode,
     )
 
     inv = None
@@ -245,6 +246,7 @@ def render_chunk_mesh_pallas(
     tile_size: int = 32,
     rows: int = 0,
     interpret: bool = False,
+    mode: str = "path",
 ) -> Array:
     """The Pallas megakernel under the device mesh: each device runs the
     VMEM-resident bounce loop (ops/pallas_integrator.py) on its own pixel
@@ -287,7 +289,7 @@ def render_chunk_mesh_pallas(
 
     run = _build_mesh_pallas_renderer(
         scene_to_host(scene), mesh, width, height, spp_chunk, spp_total,
-        max_depth, sampler, tile_size, rows, interpret,
+        max_depth, sampler, tile_size, rows, interpret, mode,
     )
     img = run(key2, pixel_ids, sample_idx)
     # Keep the row ownership explicit for downstream consumers.

@@ -119,10 +119,7 @@ class RenderSession:
         if opts.backend == "auto":
             import jax
 
-            use_pallas = (
-                jax.default_backend() not in ("cpu",)
-                and opts.integrator == "path"
-            )
+            use_pallas = jax.default_backend() not in ("cpu",)
 
         mesh = None
         if opts.mesh_shape is not None:
@@ -183,14 +180,13 @@ class RenderSession:
                 if use_pallas:
                     from .parallel import render_chunk_mesh_pallas  # lazy
 
-                    pallas_kw = {k: v for k, v in common.items() if k != "mode"}
                     chunk_sum = render_chunk_mesh_pallas(
                         self.scene,
                         key,
                         np.uint32(sample_offset),
                         mesh=mesh,
                         tile_size=opts.tile_size,
-                        **pallas_kw,
+                        **common,
                     )
                 else:
                     chunk_sum = render_chunk_mesh(
@@ -204,9 +200,8 @@ class RenderSession:
             elif use_pallas:
                 from .ops.pallas_integrator import render_chunk_pallas  # lazy
 
-                pallas_kw = {k: v for k, v in common.items() if k != "mode"}
                 chunk_sum = render_chunk_pallas(
-                    self.scene, key, np.uint32(sample_offset), **pallas_kw
+                    self.scene, key, np.uint32(sample_offset), **common
                 )
             else:
                 chunk_sum = render_chunk(

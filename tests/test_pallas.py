@@ -241,3 +241,49 @@ class TestMegakernelInterpret:
             )
         )
         assert np.allclose(a + b, full, rtol=1e-5, atol=1e-5)
+
+
+class TestMegakernelNEE:
+    def test_nee_sobol_matches_xla_bitwise_draws(self):
+        # NEE + MIS in-kernel, sobol draws bit-shared with the XLA path:
+        # interpret-mode images agree to float tolerance.
+        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+
+        scene = compile_scene(cornell_box())
+        key = make_key(4)
+        kw = dict(width=16, height=16, spp_chunk=8, spp_total=8, max_depth=4)
+        p = np.asarray(
+            render_chunk_pallas(
+                scene, key, np.uint32(0), interpret=True,
+                sampler="sobol", mode="nee", **kw,
+            )
+        )
+        x = np.asarray(
+            render_chunk(
+                scene, key, jnp.uint32(0), sampler="sobol", mode="nee", **kw
+            )
+        )
+        np.testing.assert_allclose(p, x, rtol=1e-4, atol=1e-4)
+
+    def test_nee_uniform_distribution(self):
+        # Different RNG bits (threefry vs jax.random), same estimator:
+        # distributional agreement.
+        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+
+        scene = compile_scene(cornell_box())
+        key = make_key(6)
+        W = H = 24
+        SPP = 24
+        kw = dict(width=W, height=H, spp_chunk=SPP, spp_total=SPP, max_depth=6)
+        p = np.asarray(
+            render_chunk_pallas(
+                scene, key, np.uint32(0), interpret=True, mode="nee", **kw
+            )
+        ) / SPP
+        x = np.asarray(
+            render_chunk(scene, key, jnp.uint32(0), mode="nee", **kw)
+        ) / SPP
+        assert np.all(np.isfinite(p))
+        for c in range(3):
+            sigma = max(x[..., c].std(), 1e-3) / np.sqrt(W * H * SPP)
+            assert abs(p[..., c].mean() - x[..., c].mean()) < 8 * sigma + 5e-3
