@@ -76,7 +76,13 @@ class HostScene(NamedTuple):
 
 
 def scene_to_host(scene: SceneArrays) -> HostScene:
-    g = lambda a: np.asarray(jax.device_get(a))
+    # ONE bulk device_get of the whole pytree: per-leaf fetches cost a full
+    # host<->device round-trip each (~1 s over a tunneled TPU; measured 112 s
+    # for Cornell's ~100 scalars when this was per-element), the batched
+    # transfer costs one.
+    host_scene = jax.device_get(scene)
+    g = lambda a: np.asarray(a)
+    scene = host_scene
 
     def v3(v) -> tuple:
         return (float(g(v.x)), float(g(v.y)), float(g(v.z)))
