@@ -61,7 +61,16 @@ def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float
     spp_total = spp_chunk * (TIMED_CHUNKS + 1)
 
     if use_pallas:
-        from cornelis_tpu.ops.pallas_integrator import render_chunk_pallas
+        from cornelis_tpu.ops.pallas_integrator import (
+            host_scene_from_description,
+            register_host_scene,
+            render_chunk_pallas,
+        )
+
+        # Host scene tables from the description via the CPU backend: the
+        # bench never does a TPU->host pytree fetch (unpredictably slow
+        # over a tunneled device -- measured 1.4 s to 97 s).
+        register_host_scene(scene, host_scene_from_description(cornell_box()))
 
         def chunk(offset):
             return render_chunk_pallas(
@@ -89,14 +98,21 @@ def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float
                 max_depth=MAX_DEPTH,
             )
 
-    jax.block_until_ready(chunk(0))  # warmup / compile
+    # Over the tunneled (axon) TPU, jax.block_until_ready can return before
+    # remote execution finishes -- fetching a scalar reduction of the result
+    # is the only reliable barrier (the device must finish every chunk to
+    # produce it; the transfer is 4 bytes). The reduce executable is
+    # compiled during warmup so the timed region pays no compile.
+    sum_fn = jax.jit(jnp.sum)
+    w = chunk(0)
+    float(sum_fn(w + w))  # warmup / compile (kernel + accumulate + reducer)
 
     start = time.perf_counter()
     acc = None
     for i in range(TIMED_CHUNKS):
         out = chunk((i + 1) * spp_chunk)
         acc = out if acc is None else acc + out
-    jax.block_until_ready(acc)
+    float(sum_fn(acc))  # hard barrier: forces execution of every chunk
     elapsed = time.perf_counter() - start
     return width * height * spp_chunk * TIMED_CHUNKS / elapsed
 

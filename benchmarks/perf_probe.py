@@ -14,11 +14,17 @@ import jax.numpy as jnp
 
 
 def timeit(name, f, *, rays, spp, n=4):
-    out = jax.block_until_ready(f(0))  # warmup / compile
+    # Scalar-fetch barrier: over the tunneled (axon) TPU,
+    # jax.block_until_ready can return before remote execution finishes;
+    # fetching a reduction of the result is the only reliable barrier.
+    sum_fn = jax.jit(jnp.sum)
+    out = f(0)
+    float(sum_fn(out))  # warmup / compile (kernel + reducer)
     times = []
     for i in range(n):
         t = time.perf_counter()
-        out = jax.block_until_ready(f((i + 1) * spp))
+        out = f((i + 1) * spp)
+        float(sum_fn(out))
         times.append(time.perf_counter() - t)
     dt = min(times)
     print(

@@ -75,14 +75,50 @@ class HostScene(NamedTuple):
     sdfs: tuple = ()  # rows (kind, cx, cy, cz, (p0, p1, p2, p3), material_id)
 
 
+# scene_to_host memo: device->host transfers over a tunneled TPU are
+# unpredictably slow (measured 1.4 s to 97 s for the SAME Cornell pytree
+# depending on tunnel load), so each scene pays for conversion at most once
+# per process. Keyed by object identity; the stored strong reference keeps
+# the id from being reused while the entry lives.
+_HOST_SCENE_MEMO: dict[int, tuple] = {}
+
+
+def register_host_scene(scene: SceneArrays, host: "HostScene") -> None:
+    """Pre-seed the scene_to_host memo (e.g. with tables built on the CPU
+    backend via host_scene_from_description -- zero TPU round-trips)."""
+    if len(_HOST_SCENE_MEMO) >= 16:
+        _HOST_SCENE_MEMO.clear()
+    _HOST_SCENE_MEMO[id(scene)] = (scene, host)
+
+
+def host_scene_from_description(descr) -> "HostScene":
+    """Kernel scene tables straight from a SceneDescription, computed on the
+    CPU backend: the compile math (camera lookAt etc.) runs on host silicon
+    and the device_get is a no-op -- the (minutes-slow, see memo above)
+    TPU->host fetch never happens. Pair with register_host_scene to make a
+    session's Pallas path transfer-free."""
+    from ..scene.compile import compile_scene
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _to_host_tables(jax.device_get(compile_scene(descr)))
+
+
 def scene_to_host(scene: SceneArrays) -> HostScene:
+    memo = _HOST_SCENE_MEMO.get(id(scene))
+    if memo is not None and memo[0] is scene:
+        return memo[1]
     # ONE bulk device_get of the whole pytree: per-leaf fetches cost a full
     # host<->device round-trip each (~1 s over a tunneled TPU; measured 112 s
     # for Cornell's ~100 scalars when this was per-element), the batched
     # transfer costs one.
-    host_scene = jax.device_get(scene)
+    host = _to_host_tables(jax.device_get(scene))
+    register_host_scene(scene, host)
+    return host
+
+
+def _to_host_tables(scene) -> HostScene:
+    """Host pytree (numpy leaves) -> hashable HostScene tuples."""
     g = lambda a: np.asarray(a)
-    scene = host_scene
 
     def v3(v) -> tuple:
         return (float(g(v.x)), float(g(v.y)), float(g(v.z)))
@@ -521,6 +557,78 @@ def _build_renderer(
     return jax.jit(call)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_chunk_fn(
+    host: HostScene,
+    width: int,
+    height: int,
+    max_depth: int,
+    spp_chunk: int,
+    rows: int,
+    interpret: bool,
+    sampler: str,
+    index_bits: int,
+    mode: str,
+):
+    """Jitted (root_key, sample_offset) -> (H, W, 3) chunk radiance sums.
+
+    The WHOLE chunk -- ray-id generation, key-word derivation, megakernel,
+    per-pixel sample reduction -- is one compiled program, so a session
+    chunk costs exactly one async dispatch (the previous eager id/key build
+    was ~10 host ops per chunk, each a potential stall over a tunneled
+    device)."""
+    from ..sampling import hash32
+
+    num_px = width * height
+    n = num_px * spp_chunk
+    block_rays = rows * LANES
+    n_pad = (n + block_rays - 1) // block_rays * block_rays
+    num_blocks = n_pad // block_rays
+
+    renderer = _build_renderer(
+        host, width, height, max_depth, num_blocks, rows, interpret,
+        sampler, index_bits, mode,
+    )
+
+    @jax.jit
+    def chunk_fn(root_key, sample_offset):
+        # Same ray-id layout as the historical eager build: ray k of the
+        # chunk is (pixel k // spp, sample offset + k % spp); the pad tail
+        # renders pixel 0 / sample `offset` and is sliced away below.
+        idx = jax.lax.iota(jnp.uint32, n_pad)
+        valid = idx < n
+        px = jnp.where(valid, idx // np.uint32(spp_chunk), np.uint32(0))
+        si = jnp.where(
+            valid,
+            jnp.asarray(sample_offset, jnp.uint32) + idx % np.uint32(spp_chunk),
+            np.uint32(0),
+        )
+        px = px.reshape(num_blocks * rows, LANES)
+        si = si.reshape(num_blocks * rows, LANES)
+
+        # SMEM row: [k0, k1, hash32(sobol_root_bits)] -- the third word
+        # feeds the in-kernel per-pixel Sobol scramble seeds (same
+        # derivation as rng.make_ray_streams, so sobol draws match the XLA
+        # path bitwise).
+        key_words = jax.random.key_data(root_key).astype(jnp.uint32).reshape(2)
+        sobol_root = hash32(
+            jax.random.bits(
+                jax.random.fold_in(root_key, 0x50B0), (), jnp.uint32
+            )
+        )
+        key2 = jnp.concatenate([key_words, sobol_root.reshape(1)]).reshape(1, 3)
+
+        r, g, b = renderer(key2, px, si)
+
+        def pixel_sum(c: Array) -> Array:
+            return c.reshape(-1)[:n].reshape(num_px, spp_chunk).sum(axis=1)
+
+        img = jnp.stack([pixel_sum(r), pixel_sum(g), pixel_sum(b)], axis=-1)
+        return img.reshape(height, width, 3)
+
+    return chunk_fn
+
+
 def render_chunk_pallas(
     scene: SceneArrays,
     root_key: Array,
@@ -556,44 +664,9 @@ def render_chunk_pallas(
     Unsupported here (callers fall back to XLA): differentiable mode.
     """
     host = scene_to_host(scene)
-
-    num_px = width * height
-    n = num_px * spp_chunk
-    block_rays = rows * LANES
-    n_pad = (n + block_rays - 1) // block_rays * block_rays
-    num_blocks = n_pad // block_rays
-
-    px = jnp.repeat(jnp.arange(num_px, dtype=jnp.uint32), spp_chunk)
-    si = jnp.asarray(sample_offset, jnp.uint32) + jnp.tile(
-        jnp.arange(spp_chunk, dtype=jnp.uint32), num_px
-    )
-    if n_pad != n:
-        pad = jnp.zeros(n_pad - n, jnp.uint32)
-        px = jnp.concatenate([px, pad])
-        si = jnp.concatenate([si, pad])
-    px = px.reshape(num_blocks * rows, LANES)
-    si = si.reshape(num_blocks * rows, LANES)
-
-    # SMEM row: [k0, k1, hash32(sobol_root_bits)] -- the third word feeds
-    # the in-kernel per-pixel Sobol scramble seeds (same derivation as
-    # rng.make_ray_streams, so sobol draws match the XLA path bitwise).
-    from ..sampling import hash32
-
-    key_words = jax.random.key_data(root_key).astype(jnp.uint32).reshape(2)
-    sobol_root = hash32(
-        jax.random.bits(jax.random.fold_in(root_key, 0x50B0), (), jnp.uint32)
-    )
-    key2 = jnp.concatenate([key_words, sobol_root.reshape(1)]).reshape(1, 3)
-
     index_bits = max(1, (spp_total - 1).bit_length())
-    renderer = _build_renderer(
-        host, width, height, max_depth, num_blocks, rows, interpret,
+    chunk_fn = _build_chunk_fn(
+        host, width, height, max_depth, spp_chunk, rows, interpret,
         sampler, index_bits, mode,
     )
-    r, g, b = renderer(key2, px, si)
-
-    def pixel_sum(c: Array) -> Array:
-        return c.reshape(-1)[:n].reshape(num_px, spp_chunk).sum(axis=1)
-
-    img = jnp.stack([pixel_sum(r), pixel_sum(g), pixel_sum(b)], axis=-1)
-    return img.reshape(height, width, 3)
+    return chunk_fn(root_key, jnp.asarray(sample_offset, jnp.uint32))

@@ -120,6 +120,19 @@ class RenderSession:
             import jax
 
             use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas:
+            # Build the kernel's host scene tables from the description on
+            # the CPU backend and pre-seed the converter memo: the session
+            # never does a TPU->host fetch (which can stall minutes over a
+            # tunneled device).
+            from .ops.pallas_integrator import (
+                host_scene_from_description,
+                register_host_scene,
+            )
+
+            register_host_scene(
+                self.scene, host_scene_from_description(self.scene_description)
+            )
 
         mesh = None
         if opts.mesh_shape is not None:
