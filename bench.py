@@ -98,21 +98,20 @@ def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float
                 max_depth=MAX_DEPTH,
             )
 
-    # Over the tunneled (axon) TPU, jax.block_until_ready can return before
-    # remote execution finishes -- fetching a scalar reduction of the result
-    # is the only reliable barrier (the device must finish every chunk to
-    # produce it; the transfer is 4 bytes). The reduce executable is
-    # compiled during warmup so the timed region pays no compile.
-    sum_fn = jax.jit(jnp.sum)
+    # Shared scalar-fetch barrier (reproducer + rationale in
+    # cornelis_tpu/utils/barrier.py). The reduce executable is compiled
+    # during warmup so the timed region pays no compile.
+    from cornelis_tpu.utils.barrier import device_barrier
+
     w = chunk(0)
-    float(sum_fn(w + w))  # warmup / compile (kernel + accumulate + reducer)
+    device_barrier(w + w)  # warmup / compile (kernel + accumulate + reducer)
 
     start = time.perf_counter()
     acc = None
     for i in range(TIMED_CHUNKS):
         out = chunk((i + 1) * spp_chunk)
         acc = out if acc is None else acc + out
-    float(sum_fn(acc))  # hard barrier: forces execution of every chunk
+    device_barrier(acc)  # hard barrier: forces execution of every chunk
     elapsed = time.perf_counter() - start
     return width * height * spp_chunk * TIMED_CHUNKS / elapsed
 

@@ -14,17 +14,15 @@ import jax.numpy as jnp
 
 
 def timeit(name, f, *, rays, spp, n=4):
-    # Scalar-fetch barrier: over the tunneled (axon) TPU,
-    # jax.block_until_ready can return before remote execution finishes;
-    # fetching a reduction of the result is the only reliable barrier.
-    sum_fn = jax.jit(jnp.sum)
-    out = f(0)
-    float(sum_fn(out))  # warmup / compile (kernel + reducer)
+    # Shared scalar-fetch barrier (reproducer + rationale in
+    # cornelis_tpu/utils/barrier.py).
+    from cornelis_tpu.utils.barrier import device_barrier
+
+    out = device_barrier(f(0))  # warmup / compile (kernel + reducer)
     times = []
     for i in range(n):
         t = time.perf_counter()
-        out = f((i + 1) * spp)
-        float(sum_fn(out))
+        out = device_barrier(f((i + 1) * spp))
         times.append(time.perf_counter() - t)
     dt = min(times)
     print(

@@ -65,12 +65,9 @@ def main() -> None:
             max_depth=MAX_DEPTH,
         )
 
-    # Over the tunneled (axon) device, jax.block_until_ready can return
-    # before remote execution finishes; fetching a scalar REDUCTION of the
-    # result is the only reliable barrier (the device must finish every
-    # chunk to produce it, and the transfer is 4 bytes).
-    def drain(x) -> float:
-        return float(jnp.sum(x))
+    # Shared scalar-fetch barrier (reproducer + rationale in
+    # cornelis_tpu/utils/barrier.py).
+    from cornelis_tpu.utils.barrier import device_barrier as drain
 
     t0 = time.perf_counter()
     drain(chunk(0))

@@ -76,6 +76,39 @@ def look_at(origin, target, aspect, horizontal_fov) -> Camera:
     return Camera(eye=o, corner=corner, u=u, v=v)
 
 
+def look_at_host(origin, target, aspect, horizontal_fov) -> Camera:
+    """`look_at` computed entirely in host numpy float32.
+
+    Scene compilation uses this (scene/compile.py) so the compiled camera is
+    bit-identical no matter which jax backend is active: the Pallas
+    megakernel bakes these numbers in as compile-time literals
+    (ops/pallas_integrator.py builds its tables on the CPU backend), and the
+    XLA path reads them from the SceneArrays pytree -- if the two were
+    derived on different silicon they could differ at ulp level and the
+    "same scene" would render through different constants (advisor finding,
+    round 2). Same math and quirks as `look_at` (Camera.cpp:15-34).
+    """
+    import numpy as np
+
+    f32 = np.float32
+    o = np.asarray(origin, f32)
+    t = np.asarray(target, f32)
+    up = np.asarray([0.0, 1.0, 0.0], f32)
+
+    d = (t - o).astype(f32)
+    d = (d * f32(1.0 / np.sqrt(f32(d @ d)))).astype(f32)
+    u = np.cross(up, d).astype(f32)
+    v = np.cross(u, d).astype(f32)
+
+    fov_scale = f32(2.0) * f32(np.sin(f32(horizontal_fov) * f32(0.5)))
+    u = (u * fov_scale).astype(f32)
+    v = (v * (f32(aspect) * fov_scale)).astype(f32)
+    corner = (d - u * f32(0.5) - v * f32(0.5)).astype(f32)
+
+    mk = lambda a: vec3(float(a[0]), float(a[1]), float(a[2]))
+    return Camera(eye=mk(o), corner=mk(corner), u=mk(u), v=mk(v))
+
+
 def horizontal_fov_35mm(focal_length: float) -> float:
     """Horizontal FOV of a 35mm-frame lens (Camera.cpp:36-39)."""
     if focal_length <= 0.0:

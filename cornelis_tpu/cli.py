@@ -90,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(emission-at-every-hit, no light sampling); 'nee' adds next-event "
         "estimation toward emissive spheres + the corrected sampler "
         "density -- unbiased, far lower variance for small lights "
-        "(extension; XLA backend).",
+        "(extension; runs on both the XLA and Pallas backends).",
     )
     p.add_argument(
         "--time-budget",
@@ -108,6 +108,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="Image-tile edge for mesh pixel sharding (reference grain "
         "32x32, src/Render.cpp:327); 0 = flat row-band split. Only with "
         "--mesh.",
+    )
+    p.add_argument(
+        "--backend",
+        choices=("auto", "xla", "pallas"),
+        default="auto",
+        help="Compute backend: 'auto' serves on the XLA wavefront and "
+        "switches to the Pallas megakernel only when the remaining work "
+        "amortizes its once-per-process device warmup (see "
+        "--warmup-threshold); 'xla'/'pallas' force one path "
+        "(bit-deterministic across runs).",
+    )
+    p.add_argument(
+        "--warmup-threshold",
+        type=float,
+        default=420.0,
+        metavar="SECONDS",
+        help="Auto backend: switch the remaining chunks to the Pallas "
+        "megakernel when the estimated time left on the XLA path exceeds "
+        "this many seconds (the megakernel's one-time device warmup costs "
+        "minutes on a tunneled TPU -- PERF.md). 0 = switch immediately; "
+        "negative = never.",
     )
     p.add_argument(
         "--coordinator",
@@ -235,6 +256,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         mesh_shape=parse_mesh(args.mesh),
         tile_size=args.tile_size,
         sampler=args.sampler,
+        backend=args.backend,
+        warmup_threshold_s=args.warmup_threshold,
         integrator=args.integrator,
         time_budget_s=args.time_budget,
     )

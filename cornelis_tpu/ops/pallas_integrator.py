@@ -83,11 +83,31 @@ class HostScene(NamedTuple):
 _HOST_SCENE_MEMO: dict[int, tuple] = {}
 
 
+# Has ANY Pallas kernel completed an execution on the device in this
+# process? The first one pays a device-side initialization measured at 2-6
+# minutes over a tunneled TPU (PERF.md); after that, new megakernel
+# executables (any shape/scene) start in ~2 s. RenderSession's auto backend
+# keys its scheduling off this (render.py module docstring).
+_PROCESS_WARM = False
+
+
+def process_is_warm() -> bool:
+    return _PROCESS_WARM
+
+
+def mark_process_warm() -> None:
+    global _PROCESS_WARM
+    _PROCESS_WARM = True
+
+
 def register_host_scene(scene: SceneArrays, host: "HostScene") -> None:
     """Pre-seed the scene_to_host memo (e.g. with tables built on the CPU
     backend via host_scene_from_description -- zero TPU round-trips)."""
-    if len(_HOST_SCENE_MEMO) >= 16:
-        _HOST_SCENE_MEMO.clear()
+    while len(_HOST_SCENE_MEMO) >= 16:
+        # Evict oldest-inserted only: clearing everything would make the
+        # next scene_to_host on a still-live scene re-pay the (1.4-97 s)
+        # device fetch the memo exists to avoid.
+        _HOST_SCENE_MEMO.pop(next(iter(_HOST_SCENE_MEMO)))
     _HOST_SCENE_MEMO[id(scene)] = (scene, host)
 
 
@@ -524,8 +544,11 @@ def _build_renderer(
 
         logger.info(
             "Compiling Pallas megakernel for %dx%d (max_depth %d, %d blocks,"
-            " sampler %s) -- first dispatch takes ~15 s cold, instant once"
-            " cached on disk.",
+            " sampler %s). NOTE: the first megakernel EXECUTION in a process"
+            " pays a device-side initialization -- measured 2-6 minutes over"
+            " a tunneled TPU (PERF.md); later megakernel executables in the"
+            " same process start in ~2 s. RenderSession's auto backend"
+            " hides this behind the XLA path.",
             width,
             height,
             max_depth,
@@ -594,7 +617,7 @@ def _build_chunk_fn(
     def chunk_fn(root_key, sample_offset):
         # Same ray-id layout as the historical eager build: ray k of the
         # chunk is (pixel k // spp, sample offset + k % spp); the pad tail
-        # renders pixel 0 / sample `offset` and is sliced away below.
+        # renders pixel 0 / sample 0 and is sliced away below.
         idx = jax.lax.iota(jnp.uint32, n_pad)
         valid = idx < n
         px = jnp.where(valid, idx // np.uint32(spp_chunk), np.uint32(0))

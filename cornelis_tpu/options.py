@@ -51,10 +51,23 @@ class RenderOptions:
     # sampling in distribution) or "sobol" (Owen-scrambled low-discrepancy;
     # the reference's planned QMC milestone, Sampling.hpp placeholder).
     sampler: str = "uniform"
-    # Compute backend: "auto" picks the Pallas VMEM-resident megakernel on
-    # TPU when eligible (uniform sampler, no SDFs, no mesh sharding) and the
-    # XLA wavefront otherwise; "xla" / "pallas" force a path.
+    # Compute backend: "auto" uses the Pallas VMEM-resident megakernel on
+    # TPU (it supports both samplers, SDFs, NEE, and mesh sharding) but
+    # serves leading chunks on the XLA wavefront until the megakernel's
+    # once-per-process device warmup finishes (minutes over a tunneled
+    # device -- PERF.md); "xla" / "pallas" force a single path (and stay
+    # bit-deterministic across runs, which "auto" trades away at the
+    # timing-dependent switchover chunk). CPU always renders via XLA.
     backend: str = "auto"
+    # Auto-backend switchover bar, in seconds (see render.py module
+    # docstring): while the process's Pallas megakernel is cold, chunks are
+    # served on the XLA path; if the estimated time left at the measured
+    # (completed-work) XLA rate exceeds this threshold, every remaining
+    # chunk switches to the megakernel -- the remaining work then amortizes
+    # its one-time multi-minute device warmup (PERF.md). 0 switches
+    # immediately (pay the warmup up front); negative never switches.
+    # Ignored by forced backends and on CPU.
+    warmup_threshold_s: float = 420.0
     # Integrator estimator: "path" replicates the reference exactly
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected

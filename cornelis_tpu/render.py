@@ -11,14 +11,32 @@ boundary yields a usable partial image.
 
 Differences from the reference, deliberate:
   * RenderProgress is populated (the reference's is an empty struct,
-    Render.hpp:15) -- chunks/rays/spp counts plus rays-per-second;
+    Render.hpp:15) -- chunks/rays/spp counts plus rays-per-second, and the
+    counts track chunks the device has COMPLETED, not merely dispatched
+    (dispatch is async; a watcher thread fetches a 4-byte completion probe
+    per chunk, utils/barrier.py);
   * the final callback reports Done / Aborted correctly (the reference
     passes Running at completion, Render.cpp:358 -- a quirk we do NOT keep,
     since it's a reporting bug with no effect on pixels).
+
+Backend scheduling (the "auto" backend on TPU): the Pallas megakernel is
+2-4x the XLA wavefront's throughput once running, but the FIRST Pallas
+execution in a process pays a device-side initialization measured at 2-6
+minutes over a tunneled TPU (PERF.md), and any work dispatched after it
+queues behind it (the device stream is FIFO) -- so "warm up concurrently
+while serving XLA chunks" is physically impossible on this transport. The
+session therefore serves chunks on the XLA path immediately (first pixels in
+seconds) while measuring COMPLETED throughput, and switches every remaining
+chunk to Pallas only if the estimated time left on XLA exceeds
+`warmup_threshold_s` -- i.e. only when the remaining work is big enough to
+amortize the one-time init. Once any megakernel has completed in the
+process, auto mode starts on Pallas directly (subsequent executables start
+in ~2 s).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -50,10 +68,16 @@ class RenderStatus(Enum):
 @dataclass
 class RenderProgress:
     """Populated progress record (vs the reference's empty struct +
-    State::Progress atomics, Render.cpp:277-288)."""
+    State::Progress atomics, Render.cpp:277-288).
+
+    `*_completed` / `*_traced` count work the device has FINISHED (verified
+    by a completion probe), not work merely dispatched; `chunks_dispatched`
+    exposes the async-dispatch frontier separately.
+    """
 
     chunks_target: int = 0
     chunks_completed: int = 0
+    chunks_dispatched: int = 0
     primary_rays_target: int = 0
     primary_rays_traced: int = 0
     samples_target: int = 0
@@ -79,17 +103,144 @@ class RenderResult:
     progress: RenderProgress = field(default_factory=RenderProgress)
 
 
+class _CompletionTracker:
+    """Counts chunks the device has actually finished.
+
+    Dispatch is async (and jax.block_until_ready lies on the tunneled axon
+    backend -- utils/barrier.py), so per-chunk completion is observed by
+    fetching a 4-byte scalar probe of each chunk's result on a watcher
+    thread: the fetch returns only when the device produced the sum. The
+    main loop keeps dispatching at full speed; progress numbers lag reality
+    by at most the one probe currently being fetched.
+    """
+
+    def __init__(self):
+        self._lock = threading.Condition()
+        self._pending: list = []  # FIFO of (num_samples, probe)
+        self._chunks = 0
+        self._samples = 0
+        self._submitted = 0
+        self._times: list = []  # completion wall-clock stamps
+        self._sample_counts: list = []
+        self._error: Optional[BaseException] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def track(self, chunk_sum, num_samples: int) -> None:
+        from .utils.barrier import completion_probe
+
+        probe = completion_probe(chunk_sum)
+        with self._lock:
+            self._pending.append((num_samples, probe))
+            self._submitted += 1
+            self._lock.notify_all()
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._watch, daemon=True, name="cornelis-completion"
+            )
+            self._thread.start()
+
+    def _watch(self) -> None:
+        while True:
+            with self._lock:
+                while not self._pending:
+                    self._lock.wait()
+                item = self._pending.pop(0)
+            if item is None:  # close() sentinel
+                return
+            num_samples, probe = item
+            try:
+                float(np.asarray(probe))  # blocks until the device is done
+            except Exception as exc:  # pragma: no cover - device failure
+                with self._lock:
+                    self._error = exc
+                    self._lock.notify_all()
+                return
+            with self._lock:
+                self._chunks += 1
+                self._samples += num_samples
+                self._times.append(time.perf_counter())
+                self._sample_counts.append(num_samples)
+                self._lock.notify_all()
+
+    def counts(self) -> tuple:
+        with self._lock:
+            return self._chunks, self._samples
+
+    def all_done(self) -> bool:
+        with self._lock:
+            return self._chunks == self._submitted
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Wait until every tracked chunk completed; False on timeout."""
+        deadline = None if timeout is None else time.perf_counter() + timeout
+        with self._lock:
+            while self._chunks < self._submitted and self._error is None:
+                remaining = (
+                    None if deadline is None else deadline - time.perf_counter()
+                )
+                if remaining is not None and remaining <= 0:
+                    return False
+                self._lock.wait(timeout=remaining)
+            if self._error is not None:
+                raise self._error
+            return True
+
+    def wait_for_inflight_below(self, limit: int) -> None:
+        """Block until fewer than `limit` tracked chunks are in flight."""
+        with self._lock:
+            while (
+                self._submitted - self._chunks >= limit and self._error is None
+            ):
+                self._lock.wait()
+            if self._error is not None:
+                raise self._error
+
+    def close(self) -> None:
+        with self._lock:
+            self._pending.append(None)
+            self._lock.notify_all()
+
+    def steady_rate(self, rays_per_sample: int) -> Optional[float]:
+        """Completed rays/s measured AFTER the first completed chunk (the
+        first one absorbs the XLA compile, which would bias the estimate).
+        None until two chunks have completed."""
+        with self._lock:
+            if len(self._times) < 2:
+                return None
+            dt = self._times[-1] - self._times[0]
+            if dt <= 0:
+                return None
+            samples = sum(self._sample_counts[1:])
+            return samples * rays_per_sample / dt
+
+
 class RenderSession:
     """Compile once, render with progress/abort/checkpoint (Render.hpp:16-49)."""
 
     def __init__(self, scene: SceneDescription, options: Optional[RenderOptions] = None):
         from .utils.cache import enable_persistent_cache
 
-        enable_persistent_cache()  # megakernel cold compiles cache to disk
+        enable_persistent_cache()  # persist XLA compiles across processes
         self.options = options or RenderOptions()
         self.options.validate()
         self.scene_description = scene
         self.scene: SceneArrays = compile_scene(scene)
+
+    def _fetch(self, device_array) -> np.ndarray:
+        """Host numpy from a device array that may be globally sharded
+        across processes (multi-host mesh): per-host shards are
+        all-gathered so every process assembles the full frame (the
+        reference's TBB pool writes disjoint regions of one shared buffer,
+        src/Render.cpp:335-354; across hosts that buffer must be gathered)."""
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            device_array = multihost_utils.process_allgather(
+                device_array, tiled=True
+            )
+        return np.asarray(device_array)
 
     def render(self, on_progress: Optional[ProgressCallback] = None) -> RenderResult:
         opts = self.options
@@ -111,16 +262,17 @@ class RenderSession:
         key = make_key(opts.seed)
         spp_chunk = opts.resolved_spp_chunk()
 
-        # Backend selection: the Pallas megakernel handles TPU dispatches
-        # (uniform or sobol samplers, analytic + SDF primitives, with or
-        # without a device mesh -- render_chunk_mesh_pallas runs it under
-        # shard_map); the XLA wavefront covers CPU and differentiable mode.
-        use_pallas = opts.backend == "pallas"
-        if opts.backend == "auto":
-            import jax
+        # Backend selection. The Pallas megakernel handles TPU dispatches
+        # (both samplers, analytic + SDF primitives, path and NEE modes,
+        # with or without a device mesh); the XLA wavefront covers CPU and
+        # differentiable mode, and serves the leading chunks of auto-mode
+        # TPU sessions until the megakernel is warm (module docstring).
+        import jax
 
-            use_pallas = jax.default_backend() not in ("cpu",)
-        if use_pallas:
+        on_accelerator = jax.default_backend() not in ("cpu",)
+        force_pallas = opts.backend == "pallas"
+        auto_pallas = opts.backend == "auto" and on_accelerator
+        if force_pallas or auto_pallas:
             # Build the kernel's host scene tables from the description on
             # the CPU backend and pre-seed the converter memo: the session
             # never does a TPU->host fetch (which can stall minutes over a
@@ -136,7 +288,7 @@ class RenderSession:
 
         mesh = None
         if opts.mesh_shape is not None:
-            from .parallel import make_mesh, render_chunk_mesh  # lazy
+            from .parallel import make_mesh  # lazy
 
             mesh = make_mesh(opts.mesh_shape)
             n_samp = opts.mesh_shape[1] if len(opts.mesh_shape) > 1 else 1
@@ -150,36 +302,22 @@ class RenderSession:
                     )
 
         chunk_starts = list(range(next_sample, opts.samples_aa, spp_chunk))
+        rays_per_sample = opts.width * opts.height
 
         progress = RenderProgress(
             chunks_target=len(chunk_starts),
-            primary_rays_target=opts.width * opts.height * opts.samples_aa,
+            primary_rays_target=rays_per_sample * opts.samples_aa,
             samples_target=opts.samples_aa,
             samples_completed=next_sample,
-            primary_rays_traced=opts.width * opts.height * next_sample,
+            primary_rays_traced=rays_per_sample * next_sample,
         )
 
         status = RenderStatus.RUNNING
         start = time.perf_counter()
         last_logged_pct = -1.0
+        tracker = _CompletionTracker()
 
-        # Without a checkpoint, chunk sums accumulate ON DEVICE and move to
-        # the host film once at the end: dispatches pipeline asynchronously
-        # (JAX dispatch is async; a per-chunk np.asarray would block the
-        # host on every chunk and serialize the device). Checkpointing
-        # needs host data per chunk, so it keeps the synchronous path.
-        device_accum = None
-        accum_samples = 0
-
-        def drain_accumulator():
-            nonlocal device_accum, accum_samples
-            if device_accum is not None:
-                film.add_samples(np.asarray(device_accum), accum_samples)
-                device_accum = None
-                accum_samples = 0
-
-        for chunk_index, sample_offset in enumerate(chunk_starts):
-            this_chunk = min(spp_chunk, opts.samples_aa - sample_offset)
+        def dispatch(sample_offset: int, this_chunk: int, pallas: bool):
             common = dict(
                 width=opts.width,
                 height=opts.height,
@@ -190,38 +328,125 @@ class RenderSession:
                 mode=opts.integrator,
             )
             if mesh is not None:
-                if use_pallas:
+                if pallas:
                     from .parallel import render_chunk_mesh_pallas  # lazy
 
-                    chunk_sum = render_chunk_mesh_pallas(
-                        self.scene,
-                        key,
-                        np.uint32(sample_offset),
-                        mesh=mesh,
-                        tile_size=opts.tile_size,
-                        **common,
+                    return render_chunk_mesh_pallas(
+                        self.scene, key, np.uint32(sample_offset),
+                        mesh=mesh, tile_size=opts.tile_size, **common,
                     )
-                else:
-                    chunk_sum = render_chunk_mesh(
-                        self.scene,
-                        key,
-                        np.uint32(sample_offset),
-                        mesh=mesh,
-                        tile_size=opts.tile_size,
-                        **common,
-                    )
-            elif use_pallas:
+                from .parallel import render_chunk_mesh  # lazy
+
+                return render_chunk_mesh(
+                    self.scene, key, np.uint32(sample_offset),
+                    mesh=mesh, tile_size=opts.tile_size, **common,
+                )
+            if pallas:
                 from .ops.pallas_integrator import render_chunk_pallas  # lazy
 
-                chunk_sum = render_chunk_pallas(
+                return render_chunk_pallas(
                     self.scene, key, np.uint32(sample_offset), **common
                 )
-            else:
-                chunk_sum = render_chunk(
-                    self.scene, key, np.uint32(sample_offset), **common
+            return render_chunk(
+                self.scene, key, np.uint32(sample_offset), **common
+            )
+
+        def update_progress() -> None:
+            done_chunks, done_samples = tracker.counts()
+            progress.chunks_completed = done_chunks
+            progress.samples_completed = next_sample + done_samples
+            progress.primary_rays_traced = (
+                rays_per_sample * progress.samples_completed
+            )
+            progress.elapsed_seconds = time.perf_counter() - start
+            if progress.elapsed_seconds > 0:
+                progress.rays_per_second = (
+                    rays_per_sample * done_samples / progress.elapsed_seconds
                 )
+
+        def maybe_log() -> None:
+            nonlocal last_logged_pct
+            pct = 100.0 * progress.fraction_complete
+            if pct - last_logged_pct >= 5.0 or (
+                pct >= 100.0 and last_logged_pct < 100.0
+            ):
+                logger.info(
+                    "%.1f%% done.. (%.1f Mrays/s primary)",
+                    pct,
+                    progress.rays_per_second / 1e6,
+                )
+                last_logged_pct = pct
+
+        # Pallas scheduling state (module docstring). Once the process is
+        # warm, auto mode starts on Pallas directly.
+        from .ops import pallas_integrator as _pk
+
+        use_pallas = force_pallas or (auto_pallas and _pk.process_is_warm())
+        switch_logged = False
+        if auto_pallas and not use_pallas and len(chunk_starts) > 1:
+            logger.info(
+                "Auto backend: serving chunks on the XLA path; will switch "
+                "to the Pallas megakernel if the estimated remaining render "
+                "time exceeds %.0f s (its once-per-process device warmup "
+                "costs minutes over a tunneled TPU -- PERF.md).",
+                opts.warmup_threshold_s,
+            )
+
+        # Without a checkpoint, chunk sums accumulate ON DEVICE and move to
+        # the host film once at the end: dispatches pipeline asynchronously
+        # (a per-chunk np.asarray would block the host on every chunk and
+        # serialize the device). Checkpointing needs host data per chunk,
+        # so it keeps the synchronous path.
+        device_accum = None
+        accum_samples = 0
+
+        for chunk_index, sample_offset in enumerate(chunk_starts):
+            # Adaptive switchover: measure COMPLETED XLA throughput; if the
+            # time left at that rate exceeds the threshold, the remaining
+            # chunks are worth the megakernel's one-time init. While the
+            # decision is open, dispatch is throttled to a short in-flight
+            # window -- unthrottled async dispatch would submit the whole
+            # render before the first completion arrives and the decision
+            # could never trigger. (Depth 3 still overlaps host and device;
+            # once decided -- or on forced backends -- dispatch is
+            # unthrottled and chunks pipeline freely.)
+            if auto_pallas and not use_pallas and opts.warmup_threshold_s >= 0:
+                tracker.wait_for_inflight_below(3)
+                remaining_samples = opts.samples_aa - sample_offset
+                if opts.warmup_threshold_s == 0:
+                    est = float("inf")
+                else:
+                    rate = tracker.steady_rate(rays_per_sample)
+                    est = (
+                        remaining_samples * rays_per_sample / rate
+                        if rate
+                        else None
+                    )
+                if est is not None and est > opts.warmup_threshold_s:
+                    use_pallas = True
+                    if not switch_logged:
+                        switch_logged = True
+                        logger.info(
+                            "Estimated %.0f s of work left on the XLA path "
+                            "-- switching the remaining %d chunks to the "
+                            "Pallas megakernel (they will queue behind its "
+                            "one-time device warmup).",
+                            0.0 if est == float("inf") else est,
+                            len(chunk_starts) - chunk_index,
+                        )
+
+            this_chunk = min(spp_chunk, opts.samples_aa - sample_offset)
+            chunk_sum = dispatch(sample_offset, this_chunk, use_pallas)
+            tracker.track(chunk_sum, this_chunk)
+            progress.chunks_dispatched = chunk_index + 1
+
             if opts.checkpoint:
-                film.add_samples(np.asarray(chunk_sum), this_chunk)
+                film.add_samples(self._fetch(chunk_sum), this_chunk)
+                film.save_checkpoint(
+                    opts.checkpoint,
+                    next_sample=sample_offset + this_chunk,
+                    seed=opts.seed,
+                )
             else:
                 device_accum = (
                     chunk_sum if device_accum is None else device_accum + chunk_sum
@@ -232,37 +457,10 @@ class RenderSession:
                     # actually finish before the elapsed check below --
                     # async dispatch would otherwise submit everything in
                     # milliseconds and the budget would never bind.
-                    import jax
+                    tracker.wait()
 
-                    jax.block_until_ready(device_accum)
-
-            progress.chunks_completed = chunk_index + 1
-            progress.samples_completed = sample_offset + this_chunk
-            progress.primary_rays_traced = (
-                opts.width * opts.height * progress.samples_completed
-            )
-            progress.elapsed_seconds = time.perf_counter() - start
-            if progress.elapsed_seconds > 0:
-                progress.rays_per_second = (
-                    opts.width
-                    * opts.height
-                    * (progress.samples_completed - next_sample)
-                    / progress.elapsed_seconds
-                )
-
-            if opts.checkpoint:
-                film.save_checkpoint(
-                    opts.checkpoint, next_sample=progress.samples_completed, seed=opts.seed
-                )
-
-            pct = 100.0 * progress.fraction_complete
-            if pct - last_logged_pct >= 5.0 or chunk_index + 1 == len(chunk_starts):
-                logger.info(
-                    "%.1f%% done.. (%.1f Mrays/s primary)",
-                    pct,
-                    progress.rays_per_second / 1e6,
-                )
-                last_logged_pct = pct
+            update_progress()
+            maybe_log()
 
             if on_progress is not None:
                 if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
@@ -285,17 +483,34 @@ class RenderSession:
                 )
                 break
 
-        # Block on the pipelined device work and move it to the host film;
-        # recompute the rate over *completed* (not just dispatched) work.
-        drain_accumulator()
-        progress.elapsed_seconds = time.perf_counter() - start
-        if progress.elapsed_seconds > 0:
-            progress.rays_per_second = (
-                opts.width
-                * opts.height
-                * (progress.samples_completed - next_sample)
-                / progress.elapsed_seconds
-            )
+        # Everything is dispatched; report honest progress while the device
+        # works through the queue (the percent lines during this phase are
+        # what the reference's per-tile progress atomics provide,
+        # Render.cpp:344-353).
+        while status == RenderStatus.RUNNING and not tracker.all_done():
+            if tracker.wait(timeout=0.25):
+                break
+            update_progress()
+            maybe_log()
+            if on_progress is not None:
+                if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
+                    # Dispatched work cannot be recalled; stop waiting and
+                    # drain what exists.
+                    status = RenderStatus.ABORTED
+                    break
+
+        # Move the device accumulator to the host film (blocks until the
+        # remaining device work completes), then recompute the rate over
+        # *completed* work.
+        if device_accum is not None:
+            film.add_samples(self._fetch(device_accum), accum_samples)
+            device_accum = None
+        tracker.wait(timeout=60.0)
+        tracker.close()
+        update_progress()
+        maybe_log()
+        if use_pallas and tracker.all_done():
+            _pk.mark_process_warm()
 
         if status != RenderStatus.ABORTED:
             status = RenderStatus.DONE
@@ -306,8 +521,11 @@ class RenderSession:
             on_progress(progress, status)
 
         if opts.output:
-            logger.info("Saving image to %s.", opts.output)
-            film.save_png(opts.output, standard_srgb=opts.standard_srgb)
+            import jax as _jax
+
+            if _jax.process_count() == 1 or _jax.process_index() == 0:
+                logger.info("Saving image to %s.", opts.output)
+                film.save_png(opts.output, standard_srgb=opts.standard_srgb)
 
         return RenderResult(image=film.image(), film=film, status=status, progress=progress)
 

@@ -21,7 +21,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..camera import Camera, look_at
+from ..camera import Camera, look_at_host
 from ..math.vec import Vec3
 from .description import SDF_KINDS, SceneDescription
 
@@ -97,7 +97,11 @@ def compile_scene(descr: SceneDescription) -> SceneArrays:
     material the builder always installs), matching `value_or(0)` at
     Scene.cpp:16,36.
     """
-    cam = look_at(
+    # Host numpy camera math: compiled tables are bit-identical on every
+    # backend, so the Pallas kernel's baked constants (built via the CPU
+    # backend) and the XLA path's device arrays always agree exactly
+    # (see camera.look_at_host).
+    cam = look_at_host(
         descr.camera.origin,
         descr.camera.look_at,
         descr.camera.aspect,

@@ -102,3 +102,36 @@ class TestCompile:
         arrays = compile_scene(sphere_on_plane())
         assert arrays.num_spheres == 2
         assert arrays.num_planes == 1
+
+
+class TestHostTableConsistency:
+    """The Pallas kernel's baked constants and the XLA path's device scene
+    must be the SAME numbers regardless of which backend compiled the scene
+    (advisor finding, round 2). compile_scene computes all of its math --
+    including the camera (camera.look_at_host) -- in host numpy, so this
+    holds bitwise by construction on any platform."""
+
+    def test_host_tables_match_compiled_scene_exactly(self):
+        from cornelis_tpu.ops.pallas_integrator import (
+            _HOST_SCENE_MEMO,
+            host_scene_from_description,
+            scene_to_host,
+        )
+
+        descr = cornell_box()
+        a = host_scene_from_description(descr)
+        scene = compile_scene(descr)
+        _HOST_SCENE_MEMO.pop(id(scene), None)  # force a real device fetch
+        b = scene_to_host(scene)
+        assert a == b  # exact tuple equality, no tolerance
+
+    def test_look_at_host_matches_traced_look_at(self):
+        import numpy as np
+
+        from cornelis_tpu.camera import look_at, look_at_host
+
+        h = look_at_host((50.0, 40.8, 155.0), (50.0, 40.8, 0.0), 0.5, 1.011)
+        d = look_at((50.0, 40.8, 155.0), (50.0, 40.8, 0.0), 0.5, 1.011)
+        for hv, dv in zip(h, d):
+            for hc, dc in zip(hv, dv):
+                np.testing.assert_allclose(float(hc), float(dc), rtol=1e-6)
