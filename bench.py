@@ -45,7 +45,14 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float:
+def _measure(
+    width: int,
+    height: int,
+    spp_chunk: int,
+    use_pallas: bool,
+    sampler: str = "uniform",
+    mode: str = "path",
+) -> float:
     """Primary rays/s for TIMED_CHUNKS chunks after a warmup compile."""
     import jax
     import jax.numpy as jnp
@@ -82,6 +89,8 @@ def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float
                 spp_chunk=spp_chunk,
                 spp_total=spp_total,
                 max_depth=MAX_DEPTH,
+                sampler=sampler,
+                mode=mode,
             )
 
     else:
@@ -96,6 +105,8 @@ def _measure(width: int, height: int, spp_chunk: int, use_pallas: bool) -> float
                 spp_chunk=spp_chunk,
                 spp_total=spp_total,
                 max_depth=MAX_DEPTH,
+                sampler=sampler,
+                mode=mode,
             )
 
     # Shared scalar-fetch barrier (reproducer + rationale in
@@ -136,11 +147,17 @@ key = make_key()
 mesh = make_mesh((n, 1))
 kw = dict(mesh=mesh, width=W, height=H, spp_chunk=SPP, spp_total=SPP * 3,
           max_depth=16)
-jax.block_until_ready(render_chunk_mesh(scene, key, jnp.uint32(0), **kw))
+# Sweep the path a TPU session actually runs: the Pallas megakernel under
+# shard_map (interpret-mode on these CPU devices -- same program structure,
+# collectives, and sharding as the real kernel; VERDICT r2 #4).
+from cornelis_tpu.parallel import render_chunk_mesh_pallas
+from cornelis_tpu.utils.barrier import device_barrier
+kw["interpret"] = True
+device_barrier(render_chunk_mesh_pallas(scene, key, jnp.uint32(0), **kw))
 t0 = time.perf_counter()
 for i in (1, 2):
-    jax.block_until_ready(
-        render_chunk_mesh(scene, key, jnp.uint32(i * SPP), **kw))
+    device_barrier(
+        render_chunk_mesh_pallas(scene, key, jnp.uint32(i * SPP), **kw))
 dt = time.perf_counter() - t0
 print(json.dumps({"rays_per_s": W * H * SPP * 2 / dt}))
 """
@@ -148,16 +165,19 @@ print(json.dumps({"rays_per_s": W * H * SPP * 2 / dt}))
 
 def _scaling_efficiency() -> float | None:
     """Mesh-overhead efficiency: rays/s with an 8-way virtual-CPU mesh vs
-    rays/s unsharded, on the SAME host silicon.
+    rays/s unsharded, on the SAME host silicon, running the session's real
+    TPU program structure (Pallas-under-shard_map, interpret mode).
 
     The virtual devices share this host's physical cores, so wall-clock
     speedup is not measurable here; what IS measurable is the overhead the
-    sharded program adds (collectives, dispatch, padding). A ratio near 1.0
-    supports the BASELINE.md >=80% scaling target on real multi-chip
-    hardware, where per-device compute is truly parallel (benchmarks/
-    scaling.py is the sweep to run there). Subprocesses: device count is
-    fixed at backend init, so each topology needs a fresh process. Returns
-    None if either child fails."""
+    sharded program adds (collectives, dispatch, padding). A RAW ratio near
+    (or above) 1.0 supports the BASELINE.md >=80% scaling target on real
+    multi-chip hardware, where per-device compute is truly parallel
+    (benchmarks/scaling.py is the sweep to run there). Subprocesses: device
+    count is fixed at backend init, so each topology needs a fresh process.
+    Returns None if either child fails; else the raw ratio (uncapped --
+    >1.0 means sharding exposed extra host-thread parallelism to the CPU
+    backend; the bench record carries both raw and a 1.0-clamped view)."""
     rates = {}
     repo = os.path.dirname(os.path.abspath(__file__))
     for n in (1, 8):
@@ -180,9 +200,7 @@ def _scaling_efficiency() -> float | None:
             rates[n] = json.loads(out.stdout.strip().splitlines()[-1])["rays_per_s"]
         except Exception:
             return None
-    # >1 happens when sharding exposes extra host-thread parallelism to the
-    # CPU backend; clamp -- "no sharding overhead" is the claim being made.
-    return min(1.0, rates[8] / rates[1])
+    return rates[8] / rates[1]
 
 
 def main() -> None:
@@ -193,6 +211,11 @@ def main() -> None:
 
     rays_512 = _measure(512, 512, 32, use_pallas=on_tpu)
     rays_1080p = _measure(1920, 1080, 8, use_pallas=on_tpu)
+    # Extension modes on the same backend (VERDICT r2 #5): what NEE's extra
+    # shadow-ray intersection and sobol's per-draw scramble loop cost in
+    # raw throughput -- combine with README's error-vs-wall-clock table.
+    rays_nee = _measure(512, 512, 32, use_pallas=on_tpu, mode="nee")
+    rays_sobol = _measure(512, 512, 32, use_pallas=on_tpu, sampler="sobol")
 
     record = {
         "metric": "cornell_primary_rays",
@@ -202,11 +225,14 @@ def main() -> None:
         "backend": "pallas" if on_tpu else "xla",
         "mrays_1080p": round(rays_1080p / 1e6, 3),
         "spp_per_s_1080p": round(rays_1080p / (1920 * 1080), 3),
+        "mrays_512_nee": round(rays_nee / 1e6, 3),
+        "mrays_512_sobol": round(rays_sobol / 1e6, 3),
     }
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         eff = _scaling_efficiency()
         if eff is not None:
-            record["mesh_overhead_efficiency_8dev"] = round(eff, 3)
+            record["mesh_overhead_efficiency_8dev_raw"] = round(eff, 3)
+            record["mesh_overhead_efficiency_8dev"] = round(min(1.0, eff), 3)
     print(json.dumps(record))
 
 

@@ -122,7 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--warmup-threshold",
         type=float,
-        default=420.0,
+        default=600.0,
         metavar="SECONDS",
         help="Auto backend: switch the remaining chunks to the Pallas "
         "megakernel when the estimated time left on the XLA path exceeds "

@@ -100,6 +100,50 @@ def mark_process_warm() -> None:
     _PROCESS_WARM = True
 
 
+def warm_pallas(blocking: bool = True) -> None:
+    """Pre-pay the once-per-process Pallas device initialization.
+
+    Dispatches a trivial one-block kernel and waits for its completion.
+    Measured over the tunneled TPU (PERF.md): the first Pallas execution in
+    a process costs 2-13 minutes regardless of kernel content; after ANY
+    kernel completes, every subsequent Pallas executable -- any shape,
+    scene, sampler, or integrator mode -- starts in well under a second.
+    Long-lived services and benchmark harnesses should call this once at
+    startup; RenderSession's auto backend instead decides per render
+    whether the remaining work amortizes the init (render.py).
+
+    blocking=False runs the wait on a daemon thread. CAUTION: the device
+    stream is FIFO, so any work dispatched after the warmup kernel -- from
+    any thread -- queues behind the full initialization; non-blocking mode
+    is only useful when the process will be idle anyway (e.g. a server
+    warming before traffic arrives).
+    """
+    if _PROCESS_WARM or jax.default_backend() in ("cpu",):
+        return
+
+    def kernel(o_ref):
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.float32)
+    )()
+
+    def wait():
+        from ..utils.barrier import device_barrier
+
+        device_barrier(out)
+        mark_process_warm()
+
+    if blocking:
+        wait()
+    else:
+        import threading
+
+        threading.Thread(
+            target=wait, daemon=True, name="cornelis-pallas-warmup"
+        ).start()
+
+
 def register_host_scene(scene: SceneArrays, host: "HostScene") -> None:
     """Pre-seed the scene_to_host memo (e.g. with tables built on the CPU
     backend via host_scene_from_description -- zero TPU round-trips)."""

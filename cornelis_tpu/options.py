@@ -67,7 +67,7 @@ class RenderOptions:
     # its one-time multi-minute device warmup (PERF.md). 0 switches
     # immediately (pay the warmup up front); negative never switches.
     # Ignored by forced backends and on CPU.
-    warmup_threshold_s: float = 420.0
+    warmup_threshold_s: float = 600.0
     # Integrator estimator: "path" replicates the reference exactly
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected

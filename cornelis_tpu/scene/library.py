@@ -184,8 +184,78 @@ def sdf_gallery() -> SceneDescription:
     return scene
 
 
+def sphere_grid(n: int = 64) -> SceneDescription:
+    """Procedural stress scene: an n-sphere grid over a ground plane with an
+    emissive sky sphere -- n+1 spheres, 1 plane, ~n/8 materials.
+
+    Exists to measure and test how the Pallas megakernel scales with object
+    count (its object loop is baked/unrolled at compile time; the library's
+    hand-built scenes top out at ~10 objects, so nothing exercised larger
+    tables before -- VERDICT r2 #6). Deterministic layout: sphere k sits at
+    grid position (k % side, k // side) with radius and height varied by a
+    fixed integer hash, no RNG.
+    """
+    scene = SceneDescription()
+    side = max(1, int(round(n ** 0.5)))
+    scene.set_camera(
+        PerspectiveCameraDescription(
+            origin=(side * 1.5, side * 2.0, -side * 3.0),
+            look_at=(side * 1.5, 0.5, side * 1.5),
+            aspect=1.0,
+            horizontal_fov=0.9,
+        )
+    )
+    ground = scene.add_material(MaterialDescription(albedo=(0.45, 0.45, 0.45)))
+    mats = [
+        scene.add_material(
+            MaterialDescription(
+                albedo=(0.2 + 0.6 * ((m * 7) % 8) / 7.0,
+                        0.2 + 0.6 * ((m * 3) % 8) / 7.0,
+                        0.2 + 0.6 * ((m * 5) % 8) / 7.0),
+                roughness=0.1 + 0.8 * (m % 4) / 3.0,
+            )
+        )
+        for m in range(max(1, n // 8))
+    ]
+    light = scene.add_material(
+        MaterialDescription(albedo=(0.0, 0.0, 0.0), emissive=(8.0, 8.0, 8.0))
+    )
+
+    for k in range(n):
+        h = (k * 2654435761) & 0xFFFF  # Knuth multiplicative hash, fixed
+        radius = 0.35 + 0.4 * (h % 97) / 96.0
+        scene.add_sphere(
+            SphereDescription(
+                center=(
+                    3.0 * (k % side) + 0.002 * (h % 31),
+                    radius + 0.8 * ((h >> 5) % 17) / 16.0,
+                    3.0 * (k // side),
+                ),
+                radius=radius,
+                material=mats[k % len(mats)],
+            )
+        )
+    scene.add_sphere(
+        SphereDescription(
+            center=(side * 1.5, side * 12.0, side * 1.5),
+            radius=side * 4.0,
+            material=light,
+        )
+    )
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, 1.0, 0.0),
+            point=(0.0, 0.0, 0.0),
+            extents=(side * 30.0, side * 30.0, 0.0),
+            material=ground,
+        )
+    )
+    return scene
+
+
 BUILTIN_SCENES = {
     "cornell": cornell_box,
     "sphere-plane": sphere_on_plane,
     "sdf-gallery": sdf_gallery,
+    "sphere-grid": sphere_grid,
 }

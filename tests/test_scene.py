@@ -135,3 +135,16 @@ class TestHostTableConsistency:
         for hv, dv in zip(h, d):
             for hc, dc in zip(hv, dv):
                 np.testing.assert_allclose(float(hc), float(dc), rtol=1e-6)
+
+
+def test_sphere_grid_scales():
+    """Procedural stress scene (VERDICT r2 #6): deterministic, 64+1 spheres."""
+    arrays = compile_scene(__import__("cornelis_tpu.scene.library", fromlist=["sphere_grid"]).sphere_grid(64))
+    assert arrays.num_spheres == 65
+    assert arrays.num_planes == 1
+    assert arrays.num_materials >= 9
+    # Deterministic: two builds give identical tables.
+    again = compile_scene(__import__("cornelis_tpu.scene.library", fromlist=["sphere_grid"]).sphere_grid(64))
+    np.testing.assert_array_equal(
+        np.asarray(arrays.sphere_center.x), np.asarray(again.sphere_center.x)
+    )
