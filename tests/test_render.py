@@ -66,6 +66,30 @@ class TestSession:
         assert events[-1][1] == RenderStatus.DONE
         assert events[-1][0] == 2  # 4 spp / 2 per chunk
 
+    def test_progress_counts_completed_not_dispatched(self):
+        """Honest progress (VERDICT r2 #2): `chunks_completed` tracks work
+        the device has FINISHED (verified by a completion probe), never runs
+        ahead of the dispatch frontier, is monotone, and lands exactly on
+        the target when the render returns."""
+        events = []
+
+        def cb(p, status):
+            events.append((p.chunks_dispatched, p.chunks_completed, status))
+            return RenderCommand.CONTINUE
+
+        result = render_scene(sphere_on_plane(), _opts(), on_progress=cb)
+        assert result.status == RenderStatus.DONE
+        prev_done = 0
+        for dispatched, done, _ in events:
+            assert done <= dispatched <= result.progress.chunks_target
+            assert done >= prev_done  # monotone completion
+            prev_done = done
+        # Final record: everything completed, and the rate was recomputed
+        # over completed (not merely dispatched) work.
+        assert result.progress.chunks_completed == result.progress.chunks_target
+        assert result.progress.samples_completed == result.progress.samples_target
+        assert result.progress.rays_per_second > 0
+
     def test_abort(self):
         def cb(progress, status):
             if status == RenderStatus.RUNNING:
