@@ -115,11 +115,37 @@ def _update_closest(
     )
 
 
+# Scale-aware self-intersection guard. The reference rejects t < 0 and
+# relies on the 1e-4 bounce-origin offset (Render.cpp:207) to escape the
+# surface -- an ABSOLUTE epsilon, smaller than float32 hit-POSITION
+# rounding once coordinates or ray lengths pass ~1000 (ulp(1375) = 1.2e-4):
+# the computed hit point can land BEHIND its surface by more than the
+# offset, and the next closest-hit finds the same surface at t ~ 0.
+# Measured on TPU (whose divide/fma rounding overshoots where x86's
+# happens to land short): 27% of the Cornell back wall's first-bounce
+# light-cone rays self-intersected, carving concentric iso-rounding rings
+# into the wall and losing ~15% of the region's radiance vs the reference
+# renderer (round-3 investigation; f64 transcription of the reference
+# agrees with the reference, not with the un-guarded f32 render).
+# The guard: accept hits only at t >= T_MIN_SCALE * (1 + |o|_inf) -- a few
+# float32 ulps of the origin's coordinate magnitude, far below any real
+# geometry spacing. Deviation from the reference documented in COMPAT.md.
+T_MIN_SCALE = 4e-6
+
+
+def min_hit_t(o: Vec3) -> Array:
+    """Minimum accepted hit distance for rays from origin `o` (see
+    T_MIN_SCALE)."""
+    mag = jnp.maximum(jnp.maximum(jnp.abs(o.x), jnp.abs(o.y)), jnp.abs(o.z))
+    return T_MIN_SCALE * (1.0 + mag)
+
+
 def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
     """Ray/sphere quadratic (Geometry.cpp:50-106): nearest positive root.
 
     Supports non-normalized directions (A = d.d). Returns (t, p, n, valid)
-    where t = +inf on miss.
+    where t = +inf on miss. Roots below the scale-aware minimum distance
+    (min_hit_t) are treated as misses -- the self-intersection guard.
     """
     rel = o - center
     deg = _degenerate(d)
@@ -140,8 +166,9 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
     shift = jnp.sqrt(jnp.maximum(disc, 1e-12))
     t0 = -u / 2.0 - shift
     t1 = -u / 2.0 + shift
-    t0 = jnp.where(t0 < 0.0, INF, t0)
-    t1 = jnp.where(t1 < 0.0, INF, t1)
+    tmin = min_hit_t(o)
+    t0 = jnp.where(t0 < tmin, INF, t0)
+    t1 = jnp.where(t1 < tmin, INF, t1)
     t = jnp.minimum(t0, t1)
 
     valid = has_root & ~deg & jnp.isfinite(t)
@@ -166,7 +193,7 @@ def plane_candidate(
 
     safe_b = jnp.where(b_zero, 1.0, b)
     t = jnp.where(b_zero, 0.0, a / safe_b)
-    backward = t < 0.0
+    backward = t < min_hit_t(o)  # self-intersection guard (see T_MIN_SCALE)
 
     p = ray_at(o, d, t)
     basis = construct_basis(normal)
@@ -332,7 +359,7 @@ def sdf_candidate(
     valid = (
         ~deg
         & (jnp.abs(final_dist) < eps)
-        & (t_world > SDF_MIN_T)
+        & (t_world > jnp.maximum(SDF_MIN_T, min_hit_t(o)))
         & (t_world <= SDF_MAX_T)
     )
     # Gradient in the object frame, rotated back to world (uniform scale

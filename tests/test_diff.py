@@ -1,6 +1,14 @@
 """Differentiable-mode tests: finite-difference gradient checks (common
 random numbers make the FD low-variance) and a small inverse-render
 recovery. SURVEY.md section 7 step 10.
+
+DEPTH is capped at 4: the reference's Russian-roulette schedule multiplies
+surviving dim paths by up to 1/0.05 per bounce past depth 3 (Render.cpp:
+153-165), so deeper traces produce fireflies whose kill boundary can fall
+inside the FD window -- one flipping 17.9-radiance pixel was measured
+swinging the 24x24 FD by 2x (round 3). The gradient itself was verified
+correct against the FD in both jvp and vjp modes; only the FD *test*
+needs firefly-free windows.
 """
 
 import jax
@@ -15,7 +23,7 @@ from cornelis_tpu.scene.library import cornell_box, sphere_on_plane
 
 W = H = 24
 SPP = 24
-DEPTH = 6
+DEPTH = 4  # keeps RR fireflies small: FD windows must not straddle big kill-boundary jumps (see test docstring)
 
 
 @pytest.fixture(scope="module")

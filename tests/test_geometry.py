@@ -174,3 +174,65 @@ class TestClosestHit:
         o, d = rays([[0, 0, 0]], [[0, 0, 1]])
         hit = intersect_scene(arrays, o, d)
         assert not bool(hit.hit[0])
+
+
+class TestSelfIntersectionGuard:
+    """Scale-aware minimum hit distance (geometry.T_MIN_SCALE).
+
+    Float32 hit positions round by ulp(coordinate / ray length); once that
+    exceeds the reference's absolute 1e-4 bounce offset (coordinates or ray
+    lengths ~1000+), a bounced ray can start BEHIND its own surface and the
+    closest hit finds the same surface at t ~ 0. Measured on TPU (round 3):
+    27% of Cornell back-wall light-cone rays self-intersected, losing ~15%
+    of the region's radiance vs the reference renderer and carving
+    iso-rounding rings into the wall. These tests pin the guard.
+    """
+
+    def test_overshot_origin_does_not_self_hit_plane(self):
+        from cornelis_tpu.geometry import plane_candidate
+        from cornelis_tpu.math.vec import vec3
+
+        # The measured failure shape: a bounce origin that f32 rounding
+        # placed 2e-5 BEHIND the Cornell back wall (plane z=275, normal -z),
+        # heading back into the room. Without the guard this hits the wall
+        # it just left at t ~ 2.6e-5.
+        import jax.numpy as jnp
+
+        from cornelis_tpu.math.vec import Vec3
+
+        o = Vec3(jnp.array([-179.0]), jnp.array([509.7]), jnp.array([275.00002]))
+        d = Vec3(jnp.array([0.6095]), jnp.array([0.0808]), jnp.array([-0.7886]))
+        t, p, n, valid = plane_candidate(
+            o, d, vec3(0.0, 0.0, -1.0), vec3(0.0, 275.0, 275.0), 555.0, 555.0
+        )
+        assert not bool(valid[0])
+
+    def test_distant_legitimate_hit_still_accepted(self):
+        import jax.numpy as jnp
+
+        from cornelis_tpu.geometry import min_hit_t, plane_candidate
+        from cornelis_tpu.math.vec import Vec3, vec3
+
+        o = Vec3(jnp.array([0.0]), jnp.array([275.0]), jnp.array([-1100.0]))
+        d = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([1.0]))
+        t, p, n, valid = plane_candidate(
+            o, d, vec3(0.0, 0.0, -1.0), vec3(0.0, 275.0, 275.0), 555.0, 555.0
+        )
+        assert bool(valid[0]) and abs(float(t[0]) - 1375.0) < 1e-2
+        # Guard scale: a few ulps of the origin magnitude, far below real
+        # geometry spacing.
+        assert float(min_hit_t(o)[0]) < 0.01
+
+    def test_sphere_near_root_rejected_far_root_kept(self):
+        import jax.numpy as jnp
+
+        from cornelis_tpu.geometry import sphere_candidate
+        from cornelis_tpu.math.vec import Vec3, vec3
+
+        # Origin a hair outside a unit sphere pointing inward: the entry
+        # root sits at ~1e-7 (below the guard), the exit root at ~2 -- the
+        # guard must skip to the exit root, not reject the sphere.
+        o = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([-1.0000001]))
+        d = Vec3(jnp.array([0.0]), jnp.array([0.0]), jnp.array([1.0]))
+        t, p, n, valid = sphere_candidate(o, d, vec3(0.0, 0.0, 0.0), 1.0)
+        assert bool(valid[0]) and abs(float(t[0]) - 2.0) < 1e-3

@@ -91,13 +91,14 @@ def main() -> None:
             img = render(PROBE_SPP, sampler=sampler, mode=mode, k=key)
             mse = float(((img - truth) ** 2)[mask].mean())
 
-            # Steady-state spp/s of this config's executable.
-            fn_args = dict(sampler=sampler, mode=mode, k=key, chunk=CHUNK)
-            device_barrier_spp = CHUNK * 3
+            # Steady-state spp/s: re-render the probe's OWN spp so the same
+            # (already-compiled) executable is timed -- a different
+            # spp_total would compile a fresh executable and fold ~2 s of
+            # local compile into the rate (round-2 bug).
             t0 = time.time()
-            render(device_barrier_spp, **fn_args)
+            render(PROBE_SPP, sampler=sampler, mode=mode, k=key)
             dt = time.time() - t0
-            spp_per_s = device_barrier_spp / dt
+            spp_per_s = PROBE_SPP / dt
 
             rmse_equal_time = (
                 mse * PROBE_SPP / (spp_per_s * EQUAL_TIME_S)
