@@ -140,12 +140,14 @@ def min_hit_t(o: Vec3) -> Array:
     return T_MIN_SCALE * (1.0 + mag)
 
 
-def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
+def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
     """Ray/sphere quadratic (Geometry.cpp:50-106): nearest positive root.
 
     Supports non-normalized directions (A = d.d). Returns (t, p, n, valid)
     where t = +inf on miss. Roots below the scale-aware minimum distance
     (min_hit_t) are treated as misses -- the self-intersection guard.
+    `tmin` may be passed precomputed (it depends only on `o`, so callers
+    scanning many objects hoist it out of the loop).
     """
     rel = o - center
     deg = _degenerate(d)
@@ -166,7 +168,8 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
     shift = jnp.sqrt(jnp.maximum(disc, 1e-12))
     t0 = -u / 2.0 - shift
     t1 = -u / 2.0 + shift
-    tmin = min_hit_t(o)
+    if tmin is None:
+        tmin = min_hit_t(o)
     t0 = jnp.where(t0 < tmin, INF, t0)
     t1 = jnp.where(t1 < tmin, INF, t1)
     t = jnp.minimum(t0, t1)
@@ -179,9 +182,11 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array):
 
 
 def plane_candidate(
-    o: Vec3, d: Vec3, normal: Vec3, point: Vec3, width: Array, height: Array
+    o: Vec3, d: Vec3, normal: Vec3, point: Vec3, width: Array, height: Array,
+    tmin=None,
 ):
-    """Ray/finite-rectangle intersection (Geometry.cpp:128-176)."""
+    """Ray/finite-rectangle intersection (Geometry.cpp:128-176). `tmin` as
+    in sphere_candidate."""
     diff = o - point
     a = -dot(diff, normal)
     b = dot(d, normal)
@@ -193,7 +198,9 @@ def plane_candidate(
 
     safe_b = jnp.where(b_zero, 1.0, b)
     t = jnp.where(b_zero, 0.0, a / safe_b)
-    backward = t < min_hit_t(o)  # self-intersection guard (see T_MIN_SCALE)
+    if tmin is None:
+        tmin = min_hit_t(o)
+    backward = t < tmin  # self-intersection guard (see T_MIN_SCALE)
 
     p = ray_at(o, d, t)
     basis = construct_basis(normal)
@@ -382,11 +389,12 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """
     shape = o.x.shape
     best = _empty_hit(o.x)
+    tmin = min_hit_t(o)  # origin-only; hoisted out of the object scans
 
     def sphere_step(best: Hit, params):
         center_x, center_y, center_z, radius, material, idx = params
         center = Vec3(center_x, center_y, center_z)
-        t, p, n, valid = sphere_candidate(o, d, center, radius)
+        t, p, n, valid = sphere_candidate(o, d, center, radius, tmin=tmin)
         return (
             _update_closest(best, t, p, n, material, valid, KIND_SPHERE, idx),
             None,
@@ -410,7 +418,9 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
         nx, ny, nz, px, py, pz, width, height, material = params
         normal = Vec3(nx, ny, nz)
         point = Vec3(px, py, pz)
-        t, p, n, valid = plane_candidate(o, d, normal, point, width, height)
+        t, p, n, valid = plane_candidate(
+            o, d, normal, point, width, height, tmin=tmin
+        )
         # n is the scalar per-plane normal; broadcast to the wavefront shape.
         n = Vec3(
             jnp.broadcast_to(n.x, shape),

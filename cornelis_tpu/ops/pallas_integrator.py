@@ -252,8 +252,11 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
     geometry._update_closest / src/Render.cpp:110-150). Also tracks which
     sphere (table index, -1 otherwise) the closest hit belongs to -- the
     NEE mode's MIS weights need it."""
+    from ..geometry import min_hit_t
+
     shape = o.x.shape
     zero = jnp.zeros_like(o.x)
+    tmin = min_hit_t(o)  # hoisted out of the unrolled object loop
     best_t = jnp.full_like(o.x, jnp.inf)
     hit_any = zero.astype(bool)
     bp = Vec3(zero, zero, zero)
@@ -277,12 +280,12 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
 
     state = (best_t, hit_any, bp, bn, bm, bs)
     for s_idx, (cx, cy, cz, rad, mid) in enumerate(scene.spheres):
-        t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad)
+        t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad, tmin=tmin)
         state = update(state, (t, p, n, valid, mid), s_idx)
     for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
         normal = Vec3(nx, ny, nz)
         point = Vec3(px, py, pz)
-        t, p, n, valid = plane_candidate(o, d, normal, point, w, h)
+        t, p, n, valid = plane_candidate(o, d, normal, point, w, h, tmin=tmin)
         n = Vec3(
             jnp.broadcast_to(n.x, shape),
             jnp.broadcast_to(n.y, shape),
