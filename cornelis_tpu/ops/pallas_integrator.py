@@ -699,6 +699,16 @@ def _build_chunk_fn(
     return chunk_fn
 
 
+def _env_interpret() -> bool:
+    """CORNELIS_PALLAS_INTERPRET=1 lowers every megakernel to interpret
+    mode (plain jnp). Lets CPU CI drive code paths that normally require a
+    TPU -- e.g. the session's auto-backend switchover
+    (tests/test_auto_switchover.py)."""
+    import os
+
+    return os.environ.get("CORNELIS_PALLAS_INTERPRET") == "1"
+
+
 def render_chunk_pallas(
     scene: SceneArrays,
     root_key: Array,
@@ -734,6 +744,7 @@ def render_chunk_pallas(
     Unsupported here (callers fall back to XLA): differentiable mode.
     """
     host = scene_to_host(scene)
+    interpret = interpret or _env_interpret()
     index_bits = max(1, (spp_total - 1).bit_length())
     chunk_fn = _build_chunk_fn(
         host, width, height, max_depth, spp_chunk, rows, interpret,

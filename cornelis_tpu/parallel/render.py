@@ -262,7 +262,10 @@ def render_chunk_mesh_pallas(
     from ..ops.pallas_integrator import DEFAULT_ROWS, scene_to_host
     from ..sampling import hash32
 
+    from ..ops.pallas_integrator import _env_interpret
+
     rows = rows or DEFAULT_ROWS
+    interpret = interpret or _env_interpret()
     n_tiles = mesh.shape[TILE_AXIS]
     n_samp = mesh.shape[SAMPLE_AXIS]
     num_pixels = width * height

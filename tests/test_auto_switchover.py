@@ -1,0 +1,89 @@
+"""The auto backend's adaptive scheduling, driven end-to-end on CPU.
+
+The real decision only arises on an accelerator, so these tests simulate
+one: `jax.default_backend` is monkeypatched to report "tpu" and
+CORNELIS_PALLAS_INTERPRET=1 lowers every megakernel to interpret mode
+(plain jnp on the CPU devices). That exercises the REAL session logic --
+throttled dispatch while undecided, the completed-rate estimate, the
+switchover to Pallas dispatches, and the process-warm fast path -- not a
+mock of it.
+"""
+
+import logging
+
+import jax
+import numpy as np
+import pytest
+
+from cornelis_tpu.options import RenderOptions
+from cornelis_tpu.render import RenderSession, RenderStatus
+from cornelis_tpu.scene.library import sphere_on_plane
+
+OPTS = dict(
+    width=32,
+    height=32,
+    samples_aa=8,
+    spp_chunk=2,
+    max_depth=4,
+    output=None,
+)
+
+
+@pytest.fixture
+def fake_tpu(monkeypatch):
+    from cornelis_tpu.ops import pallas_integrator as pk
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("CORNELIS_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(pk, "_PROCESS_WARM", False)
+    return pk
+
+
+def _render(opts, caplog):
+    with caplog.at_level(logging.INFO, logger="cornelis_tpu"):
+        return RenderSession(sphere_on_plane(), opts).render()
+
+
+class TestAutoSwitchover:
+    def test_switches_to_pallas_when_estimate_exceeds_threshold(
+        self, fake_tpu, caplog
+    ):
+        # threshold 0 = any remaining work justifies the megakernel.
+        opts = RenderOptions(backend="auto", warmup_threshold_s=0.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.status == RenderStatus.DONE
+        assert result.progress.chunks_completed == 4
+        assert any("switching the remaining" in m for m in caplog.messages)
+        # A completed Pallas render marks the process warm.
+        assert fake_tpu.process_is_warm()
+
+    def test_negative_threshold_never_switches(self, fake_tpu, caplog):
+        opts = RenderOptions(backend="auto", warmup_threshold_s=-1.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.status == RenderStatus.DONE
+        assert not any("switching the remaining" in m for m in caplog.messages)
+        assert not fake_tpu.process_is_warm()
+
+    def test_warm_process_starts_on_pallas(self, fake_tpu, caplog):
+        fake_tpu.mark_process_warm()
+        opts = RenderOptions(backend="auto", warmup_threshold_s=600.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.status == RenderStatus.DONE
+        # Already warm: no serving-on-XLA announcement, no switch event.
+        assert not any("serving chunks on the XLA path" in m for m in caplog.messages)
+
+    def test_switched_image_matches_unswitched_in_distribution(
+        self, fake_tpu, caplog
+    ):
+        opts_kw = dict(OPTS, samples_aa=32, spp_chunk=8)
+        a = _render(
+            RenderOptions(backend="auto", warmup_threshold_s=0.0, **opts_kw), caplog
+        ).image
+        b = _render(
+            RenderOptions(backend="xla", **opts_kw), caplog
+        ).image
+        # Different backends/draws; means must agree within MC noise
+        # (the sphere_on_plane light is small -> noisy at 32 spp; measured
+        # spread ~0.05, bound 3x that).
+        assert abs(float(a.mean()) - float(b.mean())) < 0.15
+        assert np.isfinite(a).all()
