@@ -15,8 +15,9 @@ Quirk-compatibility notes (each biases results and is reproduced):
     (Geometry.cpp:97,169), spheres tested before planes (Render.cpp:115-140);
   * negative roots are mapped to +inf before the near/far min
     (Geometry.cpp:91-95);
-  * plane rays parallel to the plane miss unless the origin is exactly the
-    plane's anchor point, in which case t = 0 (Geometry.cpp:154-159);
+  * plane rays parallel to the plane miss (Geometry.cpp:154-159; the
+    reference's "origin exactly at the anchor hits at t = 0" corner is now
+    rejected by the self-intersection guard -- see min_hit_t / COMPAT R10);
   * finite plane extents are tested against the tangent basis of the plane
     normal: |(p - anchor) . T| * 2 > width => miss (Geometry.cpp:165-168).
 """
@@ -133,11 +134,21 @@ def _update_closest(
 T_MIN_SCALE = 4e-6
 
 
-def min_hit_t(o: Vec3) -> Array:
+def min_hit_t(o: Vec3, d: Vec3 | None = None) -> Array:
     """Minimum accepted hit distance for rays from origin `o` (see
-    T_MIN_SCALE)."""
+    T_MIN_SCALE), in WORLD units; pass the direction `d` to convert into
+    the ray's own parameterization (t_world = t * |d|) for non-normalized
+    directions. Side effect recorded in COMPAT.md R10: the reference's
+    "parallel ray starting exactly at the plane anchor hits at t = 0"
+    corner (Geometry.cpp:154-159, quirk #17) is now a miss -- a t = 0 hit
+    at the ray's own origin is precisely the self-intersection class the
+    guard exists to reject."""
     mag = jnp.maximum(jnp.maximum(jnp.abs(o.x), jnp.abs(o.y)), jnp.abs(o.z))
-    return T_MIN_SCALE * (1.0 + mag)
+    tmin = T_MIN_SCALE * (1.0 + mag)
+    if d is not None:
+        deg = _degenerate(d)
+        tmin = tmin / jnp.sqrt(jnp.where(deg, 1.0, mag2(d)))
+    return tmin
 
 
 def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
@@ -146,8 +157,8 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
     Supports non-normalized directions (A = d.d). Returns (t, p, n, valid)
     where t = +inf on miss. Roots below the scale-aware minimum distance
     (min_hit_t) are treated as misses -- the self-intersection guard.
-    `tmin` may be passed precomputed (it depends only on `o`, so callers
-    scanning many objects hoist it out of the loop).
+    `tmin` may be passed precomputed (it depends only on the ray, so
+    callers scanning many objects hoist it out of the loop).
     """
     rel = o - center
     deg = _degenerate(d)
@@ -169,7 +180,7 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
     t0 = -u / 2.0 - shift
     t1 = -u / 2.0 + shift
     if tmin is None:
-        tmin = min_hit_t(o)
+        tmin = min_hit_t(o, d)
     t0 = jnp.where(t0 < tmin, INF, t0)
     t1 = jnp.where(t1 < tmin, INF, t1)
     t = jnp.minimum(t0, t1)
@@ -199,7 +210,7 @@ def plane_candidate(
     safe_b = jnp.where(b_zero, 1.0, b)
     t = jnp.where(b_zero, 0.0, a / safe_b)
     if tmin is None:
-        tmin = min_hit_t(o)
+        tmin = min_hit_t(o, d)
     backward = t < tmin  # self-intersection guard (see T_MIN_SCALE)
 
     p = ray_at(o, d, t)
@@ -366,7 +377,7 @@ def sdf_candidate(
     valid = (
         ~deg
         & (jnp.abs(final_dist) < eps)
-        & (t_world > jnp.maximum(SDF_MIN_T, min_hit_t(o)))
+        & (t_world > jnp.maximum(SDF_MIN_T, min_hit_t(o)))  # world units: t_world is pre-division
         & (t_world <= SDF_MAX_T)
     )
     # Gradient in the object frame, rotated back to world (uniform scale
@@ -389,7 +400,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     """
     shape = o.x.shape
     best = _empty_hit(o.x)
-    tmin = min_hit_t(o)  # origin-only; hoisted out of the object scans
+    tmin = min_hit_t(o, d)  # per-ray; hoisted out of the object scans
 
     def sphere_step(best: Hit, params):
         center_x, center_y, center_z, radius, material, idx = params

@@ -82,6 +82,19 @@ class PathState(NamedTuple):
     prev_pdf: Array
 
 
+# Per-channel ceiling on any single bounce's radiance contribution in NEE
+# mode (production "indirect clamp"). The replicated reference BRDF quirks
+# (almost-zero-alpha D = 1.0, 5e-5 grazing-cosine guards) allow double-
+# grazing bounces on low-roughness materials to multiply throughput by
+# ~1e4-1e5; unlucky-but-deterministic sobol draws then put a ~1e6-radiance
+# firefly in one pixel (measured at 512^2: one pixel at 4.4e6). Legit
+# contributions in the library scenes stay under ~75 (throughput ~<5 x
+# L_e 15); 200 truncates only the pathological tail. Path mode is NOT
+# clamped -- it replicates the reference estimator exactly, fireflies
+# included (the reference's own renders show the same speckles).
+NEE_CLAMP_RADIANCE = 200.0
+
+
 def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
     """Survival probability (Render.cpp:153-165). mag2 treats the RGB triple
     as a 3-vector."""
@@ -267,6 +280,14 @@ def _bounce(
                 emis_w,
             )
         contrib = RGB(contrib.x * emis_w, contrib.y * emis_w, contrib.z * emis_w)
+        # Indirect clamp (see NEE_CLAMP_RADIANCE); depth 0 = the camera
+        # looking straight at an emitter, never clamped.
+        cl = jnp.where(state.depth > 0, NEE_CLAMP_RADIANCE, jnp.inf)
+        contrib = RGB(
+            jnp.minimum(contrib.x, cl),
+            jnp.minimum(contrib.y, cl),
+            jnp.minimum(contrib.z, cl),
+        )
     count_emission = active
     radiance = RGB(
         state.radiance.x + jnp.where(count_emission, contrib.x, 0.0),
@@ -309,6 +330,12 @@ def _bounce(
         nee_mask = active & valid_l & visible & (cos_l > 0.0)
         nee_scale = jnp.where(nee_mask, mis_l * cos_l / pdf_l, 0.0)
         nee_contrib = state.throughput * f_l * light_le * nee_scale
+        # Indirect clamp on the light-sample term (see NEE_CLAMP_RADIANCE).
+        nee_contrib = RGB(
+            jnp.minimum(nee_contrib.x, NEE_CLAMP_RADIANCE),
+            jnp.minimum(nee_contrib.y, NEE_CLAMP_RADIANCE),
+            jnp.minimum(nee_contrib.z, NEE_CLAMP_RADIANCE),
+        )
         radiance = RGB(
             radiance.x + jnp.where(nee_mask, nee_contrib.x, 0.0),
             radiance.y + jnp.where(nee_mask, nee_contrib.y, 0.0),

@@ -44,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..camera import Camera, generate_rays
 from ..geometry import plane_candidate, sdf_candidate, sphere_candidate
-from ..integrator import BOUNCE_EPSILON, russian_roulette_probability
+from ..integrator import (
+    BOUNCE_EPSILON,
+    NEE_CLAMP_RADIANCE,
+    russian_roulette_probability,
+)
 from ..materials import (
     MaterialParams,
     layered_eval,
@@ -256,7 +260,7 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
 
     shape = o.x.shape
     zero = jnp.zeros_like(o.x)
-    tmin = min_hit_t(o)  # hoisted out of the unrolled object loop
+    tmin = min_hit_t(o, d)  # hoisted out of the unrolled object loop
     best_t = jnp.full_like(o.x, jnp.inf)
     hit_any = zero.astype(bool)
     bp = Vec3(zero, zero, zero)
@@ -437,8 +441,13 @@ def _make_kernel(
                     prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
                     1.0,
                 )
+                # Indirect clamp (integrator.NEE_CLAMP_RADIANCE); depth 0
+                # (camera sees the emitter) never clamped.
+                cl = jnp.where(depth > 0, NEE_CLAMP_RADIANCE, jnp.inf)
                 contrib = RGB(
-                    contrib.x * w_emis, contrib.y * w_emis, contrib.z * w_emis
+                    jnp.minimum(contrib.x * w_emis, cl),
+                    jnp.minimum(contrib.y * w_emis, cl),
+                    jnp.minimum(contrib.z * w_emis, cl),
                 )
             rad = RGB(
                 rad.x + jnp.where(active, contrib.x, 0.0),
@@ -522,10 +531,12 @@ def _make_kernel(
                     active & outside & visible & (cos_surf > 0.0) & (t_light > 0.0)
                 )
                 nee_scale = jnp.where(nee_mask, mis_l * cos_surf / pdf_l, 0.0)
+                # Indirect clamp (integrator.NEE_CLAMP_RADIANCE).
+                cl2 = NEE_CLAMP_RADIANCE
                 rad = RGB(
-                    rad.x + tput.x * f_l.x * ler * nee_scale,
-                    rad.y + tput.y * f_l.y * leg * nee_scale,
-                    rad.z + tput.z * f_l.z * leb * nee_scale,
+                    rad.x + jnp.minimum(tput.x * f_l.x * ler * nee_scale, cl2),
+                    rad.y + jnp.minimum(tput.y * f_l.y * leg * nee_scale, cl2),
+                    rad.z + jnp.minimum(tput.z * f_l.z * leb * nee_scale, cl2),
                 )
 
             wi, pdf, f = layered_sample(w_out, x0, x1, x2, basis, params)

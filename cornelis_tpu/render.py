@@ -133,11 +133,14 @@ class _CompletionTracker:
             self._pending.append((num_samples, probe))
             self._submitted += 1
             self._lock.notify_all()
-        if self._thread is None:
-            self._thread = threading.Thread(
-                target=self._watch, daemon=True, name="cornelis-completion"
-            )
-            self._thread.start()
+            # Thread creation inside the lock: a check outside would let
+            # concurrent first track() calls each spawn a watcher while
+            # close() enqueues only one sentinel.
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._watch, daemon=True, name="cornelis-completion"
+                )
+                self._thread.start()
 
     def _watch(self) -> None:
         while True:
@@ -384,12 +387,39 @@ class RenderSession:
         use_pallas = force_pallas or (auto_pallas and _pk.process_is_warm())
         switch_logged = False
         if auto_pallas and not use_pallas and len(chunk_starts) > 1:
-            logger.info(
-                "Auto backend: serving chunks on the XLA path; will switch "
-                "to the Pallas megakernel if the estimated remaining render "
-                "time exceeds %.0f s (its once-per-process device warmup "
-                "costs minutes over a tunneled TPU -- PERF.md).",
-                opts.warmup_threshold_s,
+            if opts.warmup_threshold_s < 0:
+                logger.info(
+                    "Auto backend: serving every chunk on the XLA path "
+                    "(warmup_threshold_s < 0 disables the Pallas switchover)."
+                )
+            else:
+                logger.info(
+                    "Auto backend: serving chunks on the XLA path; will "
+                    "switch to the Pallas megakernel %s (its once-per-"
+                    "process device warmup costs minutes over a tunneled "
+                    "TPU -- PERF.md).",
+                    "immediately (warmup_threshold_s = 0)"
+                    if opts.warmup_threshold_s == 0
+                    else "if the estimated remaining render time exceeds "
+                    f"{opts.warmup_threshold_s:.0f} s",
+                )
+
+        # Cross-rank control flow: in a multi-process job, every rank must
+        # take the SAME abort / time-budget branch -- a rank leaving the
+        # chunk loop one iteration early while others dispatch another
+        # sharded chunk (or enter the film allgather) deadlocks the
+        # collectives. Rank 0's local decision is broadcast and adopted.
+        multihost = jax.process_count() > 1
+
+        def agree(decision: bool) -> bool:
+            if not multihost:
+                return decision
+            from jax.experimental import multihost_utils
+
+            return bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(decision, dtype=np.bool_)
+                )
             )
 
         # Without a checkpoint, chunk sums accumulate ON DEVICE and move to
@@ -427,11 +457,14 @@ class RenderSession:
                     if not switch_logged:
                         switch_logged = True
                         logger.info(
-                            "Estimated %.0f s of work left on the XLA path "
-                            "-- switching the remaining %d chunks to the "
-                            "Pallas megakernel (they will queue behind its "
-                            "one-time device warmup).",
-                            0.0 if est == float("inf") else est,
+                            "%s -- switching the remaining %d chunks to "
+                            "the Pallas megakernel (they will queue behind "
+                            "its one-time device warmup).",
+                            "Immediate switchover requested "
+                            "(warmup_threshold_s = 0)"
+                            if est == float("inf")
+                            else f"Estimated {est:.0f} s of work left on "
+                            "the XLA path",
                             len(chunk_starts) - chunk_index,
                         )
 
@@ -442,11 +475,15 @@ class RenderSession:
 
             if opts.checkpoint:
                 film.add_samples(self._fetch(chunk_sum), this_chunk)
-                film.save_checkpoint(
-                    opts.checkpoint,
-                    next_sample=sample_offset + this_chunk,
-                    seed=opts.seed,
-                )
+                # Rank 0 writes (every rank holds the full film after
+                # _fetch); concurrent writers would interleave in the same
+                # tmp file.
+                if jax.process_index() == 0:
+                    film.save_checkpoint(
+                        opts.checkpoint,
+                        next_sample=sample_offset + this_chunk,
+                        seed=opts.seed,
+                    )
             else:
                 device_accum = (
                     chunk_sum if device_accum is None else device_accum + chunk_sum
@@ -463,17 +500,22 @@ class RenderSession:
             maybe_log()
 
             if on_progress is not None:
-                if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
+                want_abort = (
+                    on_progress(progress, RenderStatus.RUNNING)
+                    != RenderCommand.CONTINUE
+                )
+                if agree(want_abort):
                     status = RenderStatus.ABORTED
                     break
 
             # Progressive time budget (the reference's planned "sample for
             # x seconds", README Milestone 4): stop dispatching once the
-            # budget elapses; completed chunks stay in the estimate.
+            # budget elapses; completed chunks stay in the estimate. Rank
+            # 0's clock decides for every rank (see `agree`).
             if (
                 opts.time_budget_s > 0
-                and time.perf_counter() - start >= opts.time_budget_s
                 and chunk_index + 1 < len(chunk_starts)
+                and agree(time.perf_counter() - start >= opts.time_budget_s)
             ):
                 logger.info(
                     "Time budget (%.1f s) reached after %d/%d samples.",
@@ -520,12 +562,9 @@ class RenderSession:
         if on_progress is not None:
             on_progress(progress, status)
 
-        if opts.output:
-            import jax as _jax
-
-            if _jax.process_count() == 1 or _jax.process_index() == 0:
-                logger.info("Saving image to %s.", opts.output)
-                film.save_png(opts.output, standard_srgb=opts.standard_srgb)
+        if opts.output and jax.process_index() == 0:
+            logger.info("Saving image to %s.", opts.output)
+            film.save_png(opts.output, standard_srgb=opts.standard_srgb)
 
         return RenderResult(image=film.image(), film=film, status=status, progress=progress)
 

@@ -38,7 +38,8 @@ from cornelis_tpu.options import RenderOptions
 from cornelis_tpu.render import RenderSession, RenderStatus
 from cornelis_tpu.scene.library import cornell_box
 
-opts = RenderOptions(
+mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
+kw = dict(
     width=64,
     height=64,
     samples_aa=4,
@@ -48,8 +49,15 @@ opts = RenderOptions(
     backend="xla",
     output=None,
 )
-result = RenderSession(cornell_box(), opts).render()
+if mode == "budget":
+    # Exercises the rank-agreed time-budget break and the rank-0-only
+    # checkpoint write (divergent local clocks must not deadlock the
+    # collectives -- render.py `agree`).
+    kw.update(time_budget_s=0.001, checkpoint=out_path + f".ck.npz")
+result = RenderSession(cornell_box(), RenderOptions(**kw)).render()
 assert result.status == RenderStatus.DONE, result.status
+if mode == "budget":
+    assert result.film.sample_count >= 2  # at least the first chunk landed
 
 if process_id == 0:
     np.save(out_path, result.image)

@@ -30,9 +30,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_render_matches_single_process(tmp_path):
+def _launch_pair(tmp_path, out, mode="plain"):
     port = _free_port()
-    out = tmp_path / "rank0.npy"
 
     env = dict(os.environ)
     # 2 virtual devices per rank -> 4 global devices for the (4, 1) mesh.
@@ -42,7 +41,7 @@ def test_two_process_render_matches_single_process(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, CHILD, str(rank), str(port), str(out), REPO],
+            [sys.executable, CHILD, str(rank), str(port), str(out), REPO, mode],
             env=env,
             cwd=str(tmp_path),
             stdout=subprocess.PIPE,
@@ -63,6 +62,10 @@ def test_two_process_render_matches_single_process(tmp_path):
     for rank, (p, text) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{text[-4000:]}"
 
+
+def test_two_process_render_matches_single_process(tmp_path):
+    out = tmp_path / "rank0.npy"
+    _launch_pair(tmp_path, out)
     multi = np.load(out)
 
     # Single-process reference image, same options, in-process (the suite's
@@ -86,3 +89,12 @@ def test_two_process_render_matches_single_process(tmp_path):
     # image must match the unsharded one to float tolerance (mesh-shape
     # invariance, extended across process boundaries).
     np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_time_budget_and_checkpoint_do_not_deadlock(tmp_path):
+    """Rank-divergent wall clocks + checkpointing: the budget break is
+    agreed via rank-0 broadcast and only rank 0 writes the checkpoint
+    (round-3 review findings) -- both ranks must exit cleanly."""
+    out = tmp_path / "rank0b.npy"
+    _launch_pair(tmp_path, out, mode="budget")
+    assert (tmp_path / "rank0b.npy.ck.npz").exists()
