@@ -65,7 +65,9 @@ LANES = 128
 # Rays per block = ROWS * LANES. Swept on a v5e chip (Cornell, 512x512x32,
 # max_depth 64): 16 -> 63, 32 -> 197, 64 -> 193, 128 -> 167, 256 -> 149
 # Mrays/s -- 32 rows balances VPU register amortization against per-block
-# early-exit granularity.
+# early-exit granularity. Re-checked post self-intersection guard with an
+# interleaved A/B (round 3): 32 vs 64 within noise (min 139.9 vs 134.2,
+# medians equal); 32 stands.
 DEFAULT_ROWS = 32
 
 
