@@ -1,7 +1,7 @@
 """Matched-resolution golden check on the COMMITTED artifacts.
 
 tools/matched_golden.py renders Cornell at the reference's own 512x512
-(4096 spp, seed 19791102) on TPU and commits the result as
+(16384 spp, seed 19791102) on TPU and commits the result as
 tests/golden/ours_cornell_512.png next to the reference renderer's output.
 This test re-verifies the committed pair on every run (cheap: two PNG
 decodes), so the repository's stated golden agreement (GOLDEN_512.md) can

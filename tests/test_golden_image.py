@@ -100,7 +100,7 @@ class TestGoldenImage:
 
         # Our per-region stderr estimate: spread of pixel means inside the
         # region (includes real spatial variation -- conservative) over
-        # sqrt(pixels per region); the golden's own noise at 4096 spp is an
+        # sqrt(pixels per region); the golden's own noise at 16384 spp is an
         # order of magnitude below ours at 96 spp. 0.02 absolute covers
         # 8-bit quantization.
         px_per_block = (H // GRID) * (W // GRID)
