@@ -131,6 +131,24 @@ def build_parser() -> argparse.ArgumentParser:
         "negative = never.",
     )
     p.add_argument(
+        "--save-schedule",
+        metavar="FILE",
+        default=None,
+        help="Write the per-chunk backend schedule the render actually "
+        "used (JSON list of 'xla'/'pallas') to FILE. Auto mode's live "
+        "switchover is wall-clock dependent; the saved schedule replays "
+        "the run bit-exactly via --replay-schedule.",
+    )
+    p.add_argument(
+        "--replay-schedule",
+        metavar="FILE",
+        default=None,
+        help="Replay a backend schedule recorded with --save-schedule "
+        "instead of deciding live: each chunk runs on the recorded "
+        "backend, reproducing the recorded auto render bit-exactly "
+        "(requires identical scene/options/seed).",
+    )
+    p.add_argument(
         "--coordinator",
         default=None,
         metavar="HOST:PORT",
@@ -242,6 +260,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             process_id=args.process_id,
         )
 
+    replay_schedule = None
+    if args.replay_schedule is not None:
+        import json
+
+        with open(args.replay_schedule) as f:
+            replay_schedule = tuple(json.load(f))
+
     scene = load_scene(args.scene)
     options = RenderOptions(
         samples_aa=args.spp,
@@ -260,6 +285,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         warmup_threshold_s=args.warmup_threshold,
         integrator=args.integrator,
         time_budget_s=args.time_budget,
+        backend_schedule=replay_schedule,
     )
     options.validate()
 
@@ -274,6 +300,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             result = session.render()
     else:
         result = session.render()
+
+    if args.save_schedule is not None:
+        import jax
+        import json
+
+        if jax.process_index() == 0:
+            with open(args.save_schedule, "w") as f:
+                json.dump(list(result.backend_schedule), f)
 
     return 0 if result.status == RenderStatus.DONE else 1
 

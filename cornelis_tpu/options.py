@@ -82,6 +82,12 @@ class RenderOptions:
     # taken; combine with `checkpoint` to keep refining across runs.
     # 0 = no time budget (render all samples_aa).
     time_budget_s: float = 0.0
+    # Replay a recorded per-chunk backend schedule (RenderResult
+    # .backend_schedule from a previous run): a sequence of "xla"/"pallas"
+    # entries, one per dispatched chunk. Auto mode's live switchover
+    # depends on wall clock; replaying the recorded schedule reproduces an
+    # auto render bit-exactly. None = decide live.
+    backend_schedule: Optional[tuple] = None
 
     def validate(self) -> None:
         if self.samples_aa <= 0:
@@ -106,6 +112,18 @@ class RenderOptions:
             raise ValueError(
                 f"integrator must be 'path' or 'nee' (not {self.integrator!r})."
             )
+        if self.backend_schedule is not None:
+            bad = [b for b in self.backend_schedule if b not in ("xla", "pallas")]
+            if bad:
+                raise ValueError(
+                    f"backend_schedule entries must be 'xla' or 'pallas' "
+                    f"(got {bad[:3]!r})."
+                )
+            if self.backend == "xla" and "pallas" in self.backend_schedule:
+                raise ValueError(
+                    "backend_schedule contains 'pallas' chunks but "
+                    "backend='xla' forces the wavefront."
+                )
 
 
     def resolved_spp_chunk(self) -> int:

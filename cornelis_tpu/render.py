@@ -101,6 +101,12 @@ class RenderResult:
     film: Film
     status: RenderStatus
     progress: RenderProgress = field(default_factory=RenderProgress)
+    # Which backend each dispatched chunk ran on ("xla" / "pallas"), in
+    # dispatch order. Auto-mode switchover depends on wall clock, so this
+    # is the record that makes an auto render reproducible: feed it back
+    # via RenderOptions.backend_schedule to replay the identical schedule
+    # (and therefore identical pixels) without re-timing anything.
+    backend_schedule: tuple = ()
 
 
 class _CompletionTracker:
@@ -272,6 +278,25 @@ class RenderSession:
         # TPU sessions until the megakernel is warm (module docstring).
         import jax
 
+        # Cross-rank control flow: in a multi-process job, every rank must
+        # take the SAME backend / abort / time-budget branch -- a rank
+        # leaving the chunk loop one iteration early (or dispatching a
+        # different sharded executable) while others continue deadlocks the
+        # collectives. Rank 0's local decision is broadcast and adopted;
+        # every rank must reach each agree() call the same number of times.
+        multihost = jax.process_count() > 1
+
+        def agree(decision: bool) -> bool:
+            if not multihost:
+                return decision
+            from jax.experimental import multihost_utils
+
+            return bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(decision, dtype=np.bool_)
+                )
+            )
+
         on_accelerator = jax.default_backend() not in ("cpu",)
         force_pallas = opts.backend == "pallas"
         auto_pallas = opts.backend == "auto" and on_accelerator
@@ -380,13 +405,49 @@ class RenderSession:
                 )
                 last_logged_pct = pct
 
+        # Replayed schedule (RenderOptions.backend_schedule): adaptive
+        # decisions are skipped entirely and each chunk runs on the
+        # recorded backend -- wall-clock-independent, so the replay is
+        # bit-identical to the recorded run.
+        replay = opts.backend_schedule
+        if replay is not None:
+            replay = tuple(replay)
+            if len(replay) != len(chunk_starts):
+                raise ValueError(
+                    f"backend_schedule has {len(replay)} entries but this "
+                    f"render dispatches {len(chunk_starts)} chunks "
+                    f"(samples_aa={opts.samples_aa}, spp_chunk={spp_chunk}, "
+                    f"resume offset={next_sample})."
+                )
+            if any(b == "pallas" for b in replay) and not (
+                force_pallas or auto_pallas
+            ):
+                raise ValueError(
+                    "backend_schedule contains 'pallas' chunks but the "
+                    "session backend/platform cannot dispatch the "
+                    "megakernel (backend must be 'auto' on an accelerator "
+                    "or 'pallas')."
+                )
+
         # Pallas scheduling state (module docstring). Once the process is
-        # warm, auto mode starts on Pallas directly.
+        # warm (or the device itself was exercised recently -- warmth
+        # outlives processes, PERF.md), auto mode starts on Pallas
+        # directly. The check is per-process/per-host state, so in a
+        # multi-process job rank 0's answer is broadcast (every rank must
+        # dispatch the same sharded executable).
         from .ops import pallas_integrator as _pk
 
-        use_pallas = force_pallas or (auto_pallas and _pk.process_is_warm())
+        use_pallas = force_pallas or (
+            auto_pallas and agree(_pk.process_is_warm())
+        )
         switch_logged = False
-        if auto_pallas and not use_pallas and len(chunk_starts) > 1:
+        decision_open = (
+            replay is None
+            and auto_pallas
+            and not use_pallas
+            and opts.warmup_threshold_s >= 0
+        )
+        if auto_pallas and not use_pallas and replay is None and len(chunk_starts) > 1:
             if opts.warmup_threshold_s < 0:
                 logger.info(
                     "Auto backend: serving every chunk on the XLA path "
@@ -404,24 +465,6 @@ class RenderSession:
                     f"{opts.warmup_threshold_s:.0f} s",
                 )
 
-        # Cross-rank control flow: in a multi-process job, every rank must
-        # take the SAME abort / time-budget branch -- a rank leaving the
-        # chunk loop one iteration early while others dispatch another
-        # sharded chunk (or enter the film allgather) deadlocks the
-        # collectives. Rank 0's local decision is broadcast and adopted.
-        multihost = jax.process_count() > 1
-
-        def agree(decision: bool) -> bool:
-            if not multihost:
-                return decision
-            from jax.experimental import multihost_utils
-
-            return bool(
-                multihost_utils.broadcast_one_to_all(
-                    np.asarray(decision, dtype=np.bool_)
-                )
-            )
-
         # Without a checkpoint, chunk sums accumulate ON DEVICE and move to
         # the host film once at the end: dispatches pipeline asynchronously
         # (a per-chunk np.asarray would block the host on every chunk and
@@ -429,6 +472,7 @@ class RenderSession:
         # so it keeps the synchronous path.
         device_accum = None
         accum_samples = 0
+        schedule: list = []
 
         for chunk_index, sample_offset in enumerate(chunk_starts):
             # Adaptive switchover: measure COMPLETED XLA throughput; if the
@@ -440,7 +484,14 @@ class RenderSession:
             # could never trigger. (Depth 3 still overlaps host and device;
             # once decided -- or on forced backends -- dispatch is
             # unthrottled and chunks pipeline freely.)
-            if auto_pallas and not use_pallas and opts.warmup_threshold_s >= 0:
+            #
+            # The flip is rank-agreed: steady_rate() is local wall-clock
+            # state, and ranks flipping at different chunk indices would
+            # dispatch different sharded executables for the same global
+            # chunk (the divergent-branch deadlock above). `decision_open`
+            # is identical on every rank, so each rank reaches this
+            # agree() the same number of times.
+            if decision_open and not use_pallas:
                 tracker.wait_for_inflight_below(3)
                 remaining_samples = opts.samples_aa - sample_offset
                 if opts.warmup_threshold_s == 0:
@@ -452,7 +503,7 @@ class RenderSession:
                         if rate
                         else None
                     )
-                if est is not None and est > opts.warmup_threshold_s:
+                if agree(est is not None and est > opts.warmup_threshold_s):
                     use_pallas = True
                     if not switch_logged:
                         switch_logged = True
@@ -463,13 +514,18 @@ class RenderSession:
                             "Immediate switchover requested "
                             "(warmup_threshold_s = 0)"
                             if est == float("inf")
+                            else "Rank 0 estimated enough remaining work"
+                            if est is None  # rank != 0; agreed via rank 0
                             else f"Estimated {est:.0f} s of work left on "
                             "the XLA path",
                             len(chunk_starts) - chunk_index,
                         )
 
+            if replay is not None:
+                use_pallas = replay[chunk_index] == "pallas"
             this_chunk = min(spp_chunk, opts.samples_aa - sample_offset)
             chunk_sum = dispatch(sample_offset, this_chunk, use_pallas)
+            schedule.append("pallas" if use_pallas else "xla")
             tracker.track(chunk_sum, this_chunk)
             progress.chunks_dispatched = chunk_index + 1
 
@@ -499,8 +555,12 @@ class RenderSession:
             update_progress()
             maybe_log()
 
-            if on_progress is not None:
-                want_abort = (
+            # The abort collective runs on EVERY rank each iteration, even
+            # ranks without a callback: installing on_progress on a subset
+            # of ranks (rank 0 only is natural) must not leave the others
+            # skipping the broadcast that rank 0 initiates.
+            if on_progress is not None or multihost:
+                want_abort = on_progress is not None and (
                     on_progress(progress, RenderStatus.RUNNING)
                     != RenderCommand.CONTINUE
                 )
@@ -529,6 +589,12 @@ class RenderSession:
         # works through the queue (the percent lines during this phase are
         # what the reference's per-tile progress atomics provide,
         # Render.cpp:344-353).
+        # The drain loop's iteration count is timing-dependent and differs
+        # across ranks, so it must stay collective-free: an abort here is
+        # noted locally and rank-agreed ONCE after the loop (aborting
+        # during drain only affects reporting -- dispatched work cannot be
+        # recalled anyway).
+        drain_abort = False
         while status == RenderStatus.RUNNING and not tracker.all_done():
             if tracker.wait(timeout=0.25):
                 break
@@ -538,7 +604,7 @@ class RenderSession:
                 if on_progress(progress, RenderStatus.RUNNING) != RenderCommand.CONTINUE:
                     # Dispatched work cannot be recalled; stop waiting and
                     # drain what exists.
-                    status = RenderStatus.ABORTED
+                    drain_abort = True
                     break
 
         # Move the device accumulator to the host film (blocks until the
@@ -547,7 +613,16 @@ class RenderSession:
         if device_accum is not None:
             film.add_samples(self._fetch(device_accum), accum_samples)
             device_accum = None
-        tracker.wait(timeout=60.0)
+        if (on_progress is not None or multihost) and agree(drain_abort):
+            status = RenderStatus.ABORTED
+        if not tracker.wait(timeout=60.0):
+            # _fetch above already blocked on the film data, so a straggling
+            # probe here is a tunnel anomaly, not missing work -- but the
+            # final counters below would under-report, so say so.
+            logger.warning(
+                "Completion probes still pending 60 s after the film "
+                "arrived; final progress counters may under-report."
+            )
         tracker.close()
         update_progress()
         maybe_log()
@@ -566,7 +641,13 @@ class RenderSession:
             logger.info("Saving image to %s.", opts.output)
             film.save_png(opts.output, standard_srgb=opts.standard_srgb)
 
-        return RenderResult(image=film.image(), film=film, status=status, progress=progress)
+        return RenderResult(
+            image=film.image(),
+            film=film,
+            status=status,
+            progress=progress,
+            backend_schedule=tuple(schedule),
+        )
 
 
 def render_scene(

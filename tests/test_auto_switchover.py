@@ -72,6 +72,62 @@ class TestAutoSwitchover:
         # Already warm: no serving-on-XLA announcement, no switch event.
         assert not any("serving chunks on the XLA path" in m for m in caplog.messages)
 
+    def test_schedule_is_recorded(self, fake_tpu, caplog):
+        # Cold process, never-switch: all chunks on the wavefront. (Order
+        # matters: a completed Pallas render would mark the process warm
+        # and the auto fast path would then start on Pallas regardless of
+        # the threshold.)
+        opts = RenderOptions(backend="auto", warmup_threshold_s=-1.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.backend_schedule == ("xla",) * 4
+        opts = RenderOptions(backend="auto", warmup_threshold_s=0.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.backend_schedule == ("pallas",) * 4
+
+    def test_replay_schedule_reproduces_auto_render_bitwise(
+        self, fake_tpu, caplog
+    ):
+        # A tiny positive threshold yields a MIXED schedule: leading
+        # chunks run on XLA while the completed-rate estimate forms, the
+        # rest switch to Pallas. Replaying that schedule must reproduce
+        # the image bit-exactly even though the process is now warm (the
+        # warm fast path would otherwise start chunk 0 on Pallas).
+        opts_kw = dict(OPTS, samples_aa=16, spp_chunk=2)
+        first = _render(
+            RenderOptions(backend="auto", warmup_threshold_s=1e-9, **opts_kw),
+            caplog,
+        )
+        assert "pallas" in first.backend_schedule
+        assert fake_tpu.process_is_warm()
+        replayed = _render(
+            RenderOptions(
+                backend="auto",
+                warmup_threshold_s=1e-9,
+                backend_schedule=first.backend_schedule,
+                **opts_kw,
+            ),
+            caplog,
+        )
+        assert replayed.backend_schedule == first.backend_schedule
+        np.testing.assert_array_equal(replayed.image, first.image)
+
+    def test_replay_schedule_length_mismatch_raises(self, fake_tpu, caplog):
+        opts = RenderOptions(
+            backend="auto", backend_schedule=("xla",) * 3, **OPTS
+        )
+        with pytest.raises(ValueError, match="4 chunks"):
+            _render(opts, caplog)
+
+    def test_replay_schedule_bad_entry_rejected(self, fake_tpu):
+        with pytest.raises(ValueError, match="entries must be"):
+            RenderOptions(
+                backend="auto", backend_schedule=("cuda",), **OPTS
+            ).validate()
+        with pytest.raises(ValueError, match="forces the wavefront"):
+            RenderOptions(
+                backend="xla", backend_schedule=("pallas",), **OPTS
+            ).validate()
+
     def test_switched_image_matches_unswitched_in_distribution(
         self, fake_tpu, caplog
     ):

@@ -87,6 +87,27 @@ class TestEndToEnd:
         ]) == 0
         assert out.exists()
 
+    def test_schedule_save_and_replay(self, tmp_path):
+        out = tmp_path / "render.png"
+        sched = tmp_path / "schedule.json"
+        args = self._render_args(
+            out, extra=("--spp-chunk", "1", "--save-schedule", str(sched))
+        )
+        assert main(args) == 0
+        recorded = json.loads(sched.read_text())
+        assert recorded == ["xla", "xla"]  # CPU renders via the wavefront
+        from cornelis_tpu.utils.png import read_png
+
+        first = read_png(str(out))
+        os.remove(out)
+        assert main(
+            self._render_args(
+                out,
+                extra=("--spp-chunk", "1", "--replay-schedule", str(sched)),
+            )
+        ) == 0
+        np.testing.assert_array_equal(read_png(str(out)), first)
+
     def test_render_sobol(self, tmp_path):
         out = tmp_path / "render.png"
         assert main(self._render_args(out, extra=("--sampler", "sobol"))) == 0
