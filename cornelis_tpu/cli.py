@@ -89,8 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="Estimator: 'path' replicates the reference exactly "
         "(emission-at-every-hit, no light sampling); 'nee' adds next-event "
         "estimation toward emissive spheres + the corrected sampler "
-        "density -- unbiased, far lower variance for small lights "
-        "(extension; runs on both the XLA and Pallas backends).",
+        "density -- far lower variance for small lights, unbiased apart "
+        "from the per-bounce firefly clamp (see --nee-clamp; extension; "
+        "runs on both the XLA and Pallas backends).",
+    )
+    p.add_argument(
+        "--nee-clamp",
+        type=float,
+        default=None,
+        metavar="RADIANCE",
+        help="NEE firefly clamp: per-channel ceiling on any single "
+        "bounce's radiance contribution in nee mode (depth-0 emitter "
+        "sightings exempt). Default: scale-aware, 16x the scene's "
+        "brightest emission channel. 'inf' disables clamping (fully "
+        "unbiased NEE, fireflies included). Ignored in path mode.",
     )
     p.add_argument(
         "--time-budget",
@@ -129,6 +141,17 @@ def build_parser() -> argparse.ArgumentParser:
         "this many seconds (the megakernel's one-time device warmup costs "
         "minutes on a tunneled TPU -- PERF.md). 0 = switch immediately; "
         "negative = never.",
+    )
+    p.add_argument(
+        "--warm-device-max-age",
+        type=float,
+        default=120.0,
+        metavar="SECONDS",
+        help="Auto backend: start directly on the Pallas megakernel when "
+        "the device completed one within this many seconds (device "
+        "warmth outlives processes -- PERF.md; every completed megakernel "
+        "stamps a per-device file). 0 = never trust cross-process "
+        "warmth.",
     )
     p.add_argument(
         "--save-schedule",
@@ -283,7 +306,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         sampler=args.sampler,
         backend=args.backend,
         warmup_threshold_s=args.warmup_threshold,
+        warm_device_max_age_s=args.warm_device_max_age,
         integrator=args.integrator,
+        nee_clamp=args.nee_clamp,
         time_budget_s=args.time_budget,
         backend_schedule=replay_schedule,
     )

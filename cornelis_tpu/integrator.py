@@ -87,12 +87,57 @@ class PathState(NamedTuple):
 # (almost-zero-alpha D = 1.0, 5e-5 grazing-cosine guards) allow double-
 # grazing bounces on low-roughness materials to multiply throughput by
 # ~1e4-1e5; unlucky-but-deterministic sobol draws then put a ~1e6-radiance
-# firefly in one pixel (measured at 512^2: one pixel at 4.4e6). Legit
-# contributions in the library scenes stay under ~75 (throughput ~<5 x
-# L_e 15); 200 truncates only the pathological tail. Path mode is NOT
-# clamped -- it replicates the reference estimator exactly, fireflies
-# included (the reference's own renders show the same speckles).
-NEE_CLAMP_RADIANCE = 200.0
+# firefly in one pixel (measured at 512^2: one pixel at 4.4e6, Cornell
+# nee+sobol). The ceiling is shaped by what a NON-pathological path can
+# legitimately contribute:
+#
+#   * SCALE-AWARE base: NEE_CLAMP_FACTOR x the scene's brightest emission
+#     channel (floored at 1 so lightless scenes keep a finite ceiling) --
+#     the same lesson as the scale-aware min_hit_t guard (COMPAT R10): an
+#     absolute threshold silently darkens bright scenes (a close-up
+#     emission-1e4 area light legitimately contributes thousands per
+#     bounce) and protects nothing in dim ones. Shallow-bounce throughput
+#     in the library scenes stays under ~5, so 16 x L_e truncates only the
+#     >1e3 x L_e pathological tail there.
+#   * DEPTH-AWARE growth: Russian-roulette survivors are reweighted by
+#     1/prob <= 1/RR_BASE per bounce past RR_YOUNG_DEPTH, so a deep path's
+#     throughput is legitimately ~(1/0.55)^(d-3) -- measured single-sample
+#     furnace radiance reaches ~135 x L_e by depth ~16. The ceiling grows
+#     by the same factor, which keeps RR's unbiasedness intact (a flat
+#     ceiling was measured to bias the furnace mean by 0.4%) while the
+#     grazing-quirk fireflies -- whose 1e4-1e5 blowup happens in a couple
+#     of SHALLOW bounces where the ceiling is still ~16 x L_e -- stay
+#     suppressed.
+#
+# The furnace enclosures are untouched BY CONSTRUCTION (the ceiling
+# majorizes RR inflation; tests/test_nee.py asserts clamp-on == clamp-off
+# BITWISE), and the clamp-on vs clamp-off Cornell energy delta is pinned
+# in tests/test_nee.py. Path mode is NOT clamped -- it replicates the
+# reference estimator exactly, fireflies included (the reference's own
+# renders show the same speckles).
+NEE_CLAMP_FACTOR = 16.0
+
+
+def auto_nee_clamp(scene: SceneArrays):
+    """Scale-aware BASE of the per-bounce NEE radiance ceiling for a
+    compiled scene (traced; a tiny max-reduction XLA folds into the
+    render). The depth-aware RR growth is applied at the clamp site
+    (nee_clamp_at_depth)."""
+    e = scene.mat_emission
+    max_e = jnp.max(jnp.stack([e.x, e.y, e.z]))
+    return NEE_CLAMP_FACTOR * jnp.maximum(max_e, 1.0)
+
+
+def nee_clamp_at_depth(base, depth: Array):
+    """Per-bounce ceiling at `depth`: base x (1/RR_BASE)^max(d - 3, 0),
+    matching the Russian-roulette survivor reweighting that legitimately
+    inflates deep-path throughput (see NEE_CLAMP_FACTOR block). exp/log
+    form (not jnp.power) so the same code lowers inside the Pallas
+    megakernel."""
+    import math
+
+    excess = jnp.maximum(depth - RR_YOUNG_DEPTH, 0).astype(jnp.float32)
+    return base * jnp.exp(excess * jnp.float32(math.log(1.0 / RR_BASE)))
 
 
 def russian_roulette_probability(throughput: RGB, depth: Array) -> Array:
@@ -228,6 +273,7 @@ def _bounce(
     sampler: str = "uniform",
     index_bits: int = 32,
     mode: str = "path",
+    nee_clamp=None,
 ) -> PathState:
     """One wavefront bounce: intersect -> accumulate emission -> RR ->
     sample BRDF -> spawn continuation rays (Render.cpp:110-218).
@@ -280,9 +326,11 @@ def _bounce(
                 emis_w,
             )
         contrib = RGB(contrib.x * emis_w, contrib.y * emis_w, contrib.z * emis_w)
-        # Indirect clamp (see NEE_CLAMP_RADIANCE); depth 0 = the camera
+        # Indirect clamp (see NEE_CLAMP_FACTOR); depth 0 = the camera
         # looking straight at an emitter, never clamped.
-        cl = jnp.where(state.depth > 0, NEE_CLAMP_RADIANCE, jnp.inf)
+        clamp_base = nee_clamp if nee_clamp is not None else auto_nee_clamp(scene)
+        clamp_val = nee_clamp_at_depth(clamp_base, state.depth)
+        cl = jnp.where(state.depth > 0, clamp_val, jnp.inf)
         contrib = RGB(
             jnp.minimum(contrib.x, cl),
             jnp.minimum(contrib.y, cl),
@@ -330,11 +378,11 @@ def _bounce(
         nee_mask = active & valid_l & visible & (cos_l > 0.0)
         nee_scale = jnp.where(nee_mask, mis_l * cos_l / pdf_l, 0.0)
         nee_contrib = state.throughput * f_l * light_le * nee_scale
-        # Indirect clamp on the light-sample term (see NEE_CLAMP_RADIANCE).
+        # Indirect clamp on the light-sample term (see NEE_CLAMP_FACTOR).
         nee_contrib = RGB(
-            jnp.minimum(nee_contrib.x, NEE_CLAMP_RADIANCE),
-            jnp.minimum(nee_contrib.y, NEE_CLAMP_RADIANCE),
-            jnp.minimum(nee_contrib.z, NEE_CLAMP_RADIANCE),
+            jnp.minimum(nee_contrib.x, clamp_val),
+            jnp.minimum(nee_contrib.y, clamp_val),
+            jnp.minimum(nee_contrib.z, clamp_val),
         )
         radiance = RGB(
             radiance.x + jnp.where(nee_mask, nee_contrib.x, 0.0),
@@ -389,6 +437,7 @@ def trace_paths(
     sampler: str = "uniform",
     index_bits: int = 32,
     mode: str = "path",
+    nee_clamp=None,
 ) -> RGB:
     """Trace a wavefront to completion; returns per-ray radiance.
 
@@ -425,7 +474,7 @@ def trace_paths(
             0,
             max_depth,
             lambda _, s: _bounce(
-                scene, s, detach_sampling, sampler, index_bits, mode
+                scene, s, detach_sampling, sampler, index_bits, mode, nee_clamp
             ),
             state,
         )
@@ -433,7 +482,7 @@ def trace_paths(
         state = jax.lax.while_loop(
             lambda s: (s.depth < max_depth) & jnp.any(s.active),
             lambda s: _bounce(
-                scene, s, detach_sampling, sampler, index_bits, mode
+                scene, s, detach_sampling, sampler, index_bits, mode, nee_clamp
             ),
             state,
         )
@@ -454,6 +503,7 @@ def integrate_pixel_samples(
     detach_sampling: bool = False,
     sampler: str = "uniform",
     mode: str = "path",
+    nee_clamp=None,
 ) -> Array:
     """Core wavefront dispatch: trace every (pixel, sample) pair in the
     cartesian product of `pixel_ids` x `sample_idx` and return per-pixel
@@ -495,6 +545,7 @@ def integrate_pixel_samples(
         sampler,
         index_bits,
         mode,
+        nee_clamp,
     )
 
     def pixel_sum(channel: Array) -> Array:
@@ -516,6 +567,7 @@ def integrate_pixel_samples(
         "max_depth",
         "sampler",
         "mode",
+        "nee_clamp",
     ),
 )
 def render_chunk(
@@ -530,6 +582,7 @@ def render_chunk(
     max_depth: int,
     sampler: str = "uniform",
     mode: str = "path",
+    nee_clamp=None,
 ) -> Array:
     """Render one sample chunk of the full frame; returns (H, W, 3) radiance
     *sums* over the chunk's spp (caller accumulates and divides -- the
@@ -549,5 +602,6 @@ def render_chunk(
         max_depth=max_depth,
         sampler=sampler,
         mode=mode,
+        nee_clamp=nee_clamp,
     )
     return img.reshape(height, width, 3)

@@ -46,7 +46,8 @@ from ..camera import Camera, generate_rays
 from ..geometry import plane_candidate, sdf_candidate, sphere_candidate
 from ..integrator import (
     BOUNCE_EPSILON,
-    NEE_CLAMP_RADIANCE,
+    NEE_CLAMP_FACTOR,
+    nee_clamp_at_depth,
     russian_roulette_probability,
 )
 from ..materials import (
@@ -101,9 +102,78 @@ def process_is_warm() -> bool:
     return _PROCESS_WARM
 
 
+def _warmth_stamp_path():
+    """Per-device warmth-stamp file, or None where stamping is off.
+
+    Device-side warmth OUTLIVES the process (PERF.md "Cross-process
+    warmth decay": cold Pallas completed in 1.6 s two minutes after a
+    warmed process exited), so the last completion time is persisted in a
+    tmp file keyed by the device fingerprint. Stamping is enabled on real
+    accelerators; on CPU only when CORNELIS_WARMTH_STAMP_DIR points at a
+    directory (CI isolation -- a shared /tmp stamp would leak warmth
+    state between unrelated test processes)."""
+    import hashlib
+    import os
+    import tempfile
+
+    stamp_dir = os.environ.get("CORNELIS_WARMTH_STAMP_DIR")
+    dev = jax.devices()[0]
+    if dev.platform == "cpu" and not stamp_dir:
+        return None
+    fingerprint = "-".join(
+        str(x)
+        for x in (
+            dev.platform,
+            getattr(dev, "device_kind", "?"),
+            dev.id,
+            jax.process_index(),
+        )
+    )
+    digest = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
+    return os.path.join(
+        stamp_dir or tempfile.gettempdir(), f"cornelis_pallas_warm_{digest}.json"
+    )
+
+
 def mark_process_warm() -> None:
     global _PROCESS_WARM
     _PROCESS_WARM = True
+    path = _warmth_stamp_path()
+    if path is None:
+        return
+    try:
+        import json
+        import os
+        import time
+
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"ts": time.time()}, f)
+        os.replace(tmp, path)  # atomic vs concurrent writers
+    except OSError:  # pragma: no cover - tmp dir unwritable
+        pass
+
+
+def device_recently_warm(max_age_s: float) -> bool:
+    """True when the device completed a Pallas kernel within `max_age_s`
+    seconds -- by this process (always trusted) or a previous one (stamp
+    file). 0 disables the cross-process check."""
+    if _PROCESS_WARM:
+        return True
+    if max_age_s <= 0:
+        return False
+    path = _warmth_stamp_path()
+    if path is None:
+        return False
+    try:
+        import json
+        import time
+
+        with open(path) as f:
+            ts = float(json.load(f)["ts"])
+        return 0.0 <= time.time() - ts <= max_age_s
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
 
 
 def warm_pallas(blocking: bool = True) -> None:
@@ -357,6 +427,16 @@ def _gather_materials_const(materials: tuple, ids: Array) -> MaterialParams:
     )
 
 
+def _host_nee_clamp(scene: HostScene) -> float:
+    """Scale-aware per-bounce NEE ceiling from the baked host tables --
+    the megakernel counterpart of integrator.auto_nee_clamp (the tables
+    carry emission on the host, so the value becomes a kernel constant)."""
+    max_e = max(
+        (max(m[1]) for m in scene.materials), default=0.0
+    )
+    return NEE_CLAMP_FACTOR * max(float(max_e), 1.0)
+
+
 def _make_kernel(
     scene: HostScene,
     width: int,
@@ -365,10 +445,12 @@ def _make_kernel(
     sampler: str = "uniform",
     index_bits: int = 32,
     mode: str = "path",
+    nee_clamp: float = None,
 ):
     cam = _const_camera(scene.camera)
     nee = mode == "nee"
     lights = _light_table(scene) if nee else None
+    clamp_val = nee_clamp if nee_clamp is not None else _host_nee_clamp(scene)
 
     def kernel(key_ref, px_ref, si_ref, r_ref, g_ref, b_ref):
         k0 = key_ref[0, 0]
@@ -443,9 +525,11 @@ def _make_kernel(
                     prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
                     1.0,
                 )
-                # Indirect clamp (integrator.NEE_CLAMP_RADIANCE); depth 0
-                # (camera sees the emitter) never clamped.
-                cl = jnp.where(depth > 0, NEE_CLAMP_RADIANCE, jnp.inf)
+                # Indirect clamp (integrator.NEE_CLAMP_FACTOR, with the
+                # depth-aware RR growth); depth 0 (camera sees the
+                # emitter) never clamped.
+                cl_d = nee_clamp_at_depth(clamp_val, depth)
+                cl = jnp.where(depth > 0, cl_d, jnp.inf)
                 contrib = RGB(
                     jnp.minimum(contrib.x * w_emis, cl),
                     jnp.minimum(contrib.y * w_emis, cl),
@@ -533,8 +617,9 @@ def _make_kernel(
                     active & outside & visible & (cos_surf > 0.0) & (t_light > 0.0)
                 )
                 nee_scale = jnp.where(nee_mask, mis_l * cos_surf / pdf_l, 0.0)
-                # Indirect clamp (integrator.NEE_CLAMP_RADIANCE).
-                cl2 = NEE_CLAMP_RADIANCE
+                # Indirect clamp (integrator.NEE_CLAMP_FACTOR,
+                # depth-aware).
+                cl2 = nee_clamp_at_depth(clamp_val, depth)
                 rad = RGB(
                     rad.x + jnp.minimum(tput.x * f_l.x * ler * nee_scale, cl2),
                     rad.y + jnp.minimum(tput.y * f_l.y * leg * nee_scale, cl2),
@@ -598,6 +683,7 @@ def _build_renderer(
     sampler: str,
     index_bits: int,
     mode: str = "path",
+    nee_clamp: float = None,
 ):
     if not interpret:
         from ..utils.logging import logger
@@ -616,7 +702,7 @@ def _build_renderer(
             sampler,
         )
     kernel = _make_kernel(
-        scene, width, height, max_depth, sampler, index_bits, mode
+        scene, width, height, max_depth, sampler, index_bits, mode, nee_clamp
     )
     block = (rows, LANES)
     out_shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.float32)
@@ -652,6 +738,7 @@ def _build_chunk_fn(
     sampler: str,
     index_bits: int,
     mode: str,
+    nee_clamp: float = None,
 ):
     """Jitted (root_key, sample_offset) -> (H, W, 3) chunk radiance sums.
 
@@ -670,7 +757,7 @@ def _build_chunk_fn(
 
     renderer = _build_renderer(
         host, width, height, max_depth, num_blocks, rows, interpret,
-        sampler, index_bits, mode,
+        sampler, index_bits, mode, nee_clamp,
     )
 
     @jax.jit
@@ -736,6 +823,7 @@ def render_chunk_pallas(
     interpret: bool = False,
     sampler: str = "uniform",
     mode: str = "path",
+    nee_clamp: float = None,
 ) -> Array:
     """Drop-in counterpart of integrator.render_chunk on the megakernel.
 
@@ -759,8 +847,12 @@ def render_chunk_pallas(
     host = scene_to_host(scene)
     interpret = interpret or _env_interpret()
     index_bits = max(1, (spp_total - 1).bit_length())
+    # Resolve the scale-aware default HERE so the lru_cache key is a
+    # concrete float (None would alias distinct effective clamps).
+    if nee_clamp is None:
+        nee_clamp = _host_nee_clamp(host)
     chunk_fn = _build_chunk_fn(
         host, width, height, max_depth, spp_chunk, rows, interpret,
-        sampler, index_bits, mode,
+        sampler, index_bits, mode, float(nee_clamp),
     )
     return chunk_fn(root_key, jnp.asarray(sample_offset, jnp.uint32))

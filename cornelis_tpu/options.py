@@ -68,6 +68,14 @@ class RenderOptions:
     # immediately (pay the warmup up front); negative never switches.
     # Ignored by forced backends and on CPU.
     warmup_threshold_s: float = 600.0
+    # Auto backend warm-start window: device-side Pallas warmth OUTLIVES
+    # the process (PERF.md "Cross-process warmth decay"), so every
+    # completed megakernel stamps a per-device tmp file and a NEW process
+    # whose device completed one within this many seconds starts auto
+    # renders directly on the megakernel (skipping the serve-on-XLA
+    # phase). 0 disables the cross-process check. The default is the
+    # window PERF.md actually measured warmth surviving.
+    warm_device_max_age_s: float = 120.0
     # Integrator estimator: "path" replicates the reference exactly
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected
@@ -76,6 +84,14 @@ class RenderOptions:
     # of magnitude lower variance for small lights. Supported by both the
     # XLA wavefront and the Pallas megakernel.
     integrator: str = "path"
+    # NEE firefly clamp: per-channel ceiling on any single bounce's
+    # radiance contribution in nee mode (depth-0 emitter sightings exempt).
+    # None = scale-aware default, NEE_CLAMP_FACTOR (16) x the scene's
+    # brightest emission channel (floored at 1) -- see
+    # integrator.auto_nee_clamp. A float overrides with an absolute
+    # ceiling; math.inf disables clamping (fully unbiased NEE, fireflies
+    # included). Ignored in path mode (never clamped).
+    nee_clamp: Optional[float] = None
     # Progressive mode: stop dispatching new sample chunks once this many
     # seconds have elapsed (the reference's planned "sample for x seconds",
     # README Milestone 4). The image normalizes by the samples actually
@@ -111,6 +127,16 @@ class RenderOptions:
         if self.integrator not in ("path", "nee"):
             raise ValueError(
                 f"integrator must be 'path' or 'nee' (not {self.integrator!r})."
+            )
+        if self.warm_device_max_age_s < 0:
+            raise ValueError(
+                "warm_device_max_age_s must be >= 0 (0 disables the "
+                "cross-process warmth check)."
+            )
+        if self.nee_clamp is not None and not self.nee_clamp > 0:
+            raise ValueError(
+                f"nee_clamp must be > 0 (math.inf disables clamping; None "
+                f"selects the scale-aware default), not {self.nee_clamp}."
             )
         if self.backend_schedule is not None:
             bad = [b for b in self.backend_schedule if b not in ("xla", "pallas")]

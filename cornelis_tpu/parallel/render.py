@@ -56,6 +56,7 @@ def _check_divisible(value: int, by: int, what: str) -> None:
         "sampler",
         "tile_size",
         "mode",
+        "nee_clamp",
     ),
 )
 def render_chunk_mesh(
@@ -73,6 +74,7 @@ def render_chunk_mesh(
     sampler: str = "uniform",
     tile_size: int = 32,
     mode: str = "path",
+    nee_clamp=None,
 ) -> Array:
     """Render one sample chunk over the mesh; returns (H, W, 3) radiance
     sums, identical (modulo float reduction order when spp is sharded) to
@@ -114,6 +116,7 @@ def render_chunk_mesh(
             unroll_bounces=unroll_bounces,
             sampler=sampler,
             mode=mode,
+            nee_clamp=nee_clamp,
         )
         if n_samp > 1:
             part = jax.lax.psum(part, SAMPLE_AXIS)
@@ -160,6 +163,7 @@ def _build_mesh_pallas_renderer(
     rows: int,
     interpret: bool,
     mode: str = "path",
+    nee_clamp: float = None,
 ):
     """Jitted (key2, pixel_ids, sample_idx) -> (H, W, 3) over the mesh,
     with the Pallas megakernel as each device's body. Cached per static
@@ -181,7 +185,7 @@ def _build_mesh_pallas_renderer(
     index_bits = max(1, (spp_total - 1).bit_length())
     renderer = _build_renderer(
         host, width, height, max_depth, dev_blocks, rows, interpret,
-        sampler, index_bits, mode,
+        sampler, index_bits, mode, nee_clamp,
     )
 
     inv = None
@@ -247,6 +251,7 @@ def render_chunk_mesh_pallas(
     rows: int = 0,
     interpret: bool = False,
     mode: str = "path",
+    nee_clamp: float = None,
 ) -> Array:
     """The Pallas megakernel under the device mesh: each device runs the
     VMEM-resident bounce loop (ops/pallas_integrator.py) on its own pixel
@@ -290,9 +295,15 @@ def render_chunk_mesh_pallas(
     )
     key2 = jnp.concatenate([key_words, sobol_root.reshape(1)]).reshape(1, 3)
 
+    host = scene_to_host(scene)
+    if nee_clamp is None:
+        from ..ops.pallas_integrator import _host_nee_clamp
+
+        nee_clamp = _host_nee_clamp(host)
     run = _build_mesh_pallas_renderer(
-        scene_to_host(scene), mesh, width, height, spp_chunk, spp_total,
+        host, mesh, width, height, spp_chunk, spp_total,
         max_depth, sampler, tile_size, rows, interpret, mode,
+        float(nee_clamp),
     )
     img = run(key2, pixel_ids, sample_idx)
     # Keep the row ownership explicit for downstream consumers.

@@ -354,6 +354,7 @@ class RenderSession:
                 max_depth=opts.max_depth,
                 sampler=opts.sampler,
                 mode=opts.integrator,
+                nee_clamp=opts.nee_clamp,
             )
             if mesh is not None:
                 if pallas:
@@ -437,9 +438,16 @@ class RenderSession:
         # dispatch the same sharded executable).
         from .ops import pallas_integrator as _pk
 
-        use_pallas = force_pallas or (
-            auto_pallas and agree(_pk.process_is_warm())
+        device_warm = auto_pallas and agree(
+            _pk.device_recently_warm(opts.warm_device_max_age_s)
         )
+        if device_warm and not _pk.process_is_warm():
+            logger.info(
+                "Auto backend: device completed a Pallas kernel within the "
+                "last %.0f s (warmth stamp) -- starting on the megakernel.",
+                opts.warm_device_max_age_s,
+            )
+        use_pallas = force_pallas or device_warm
         switch_logged = False
         decision_open = (
             replay is None

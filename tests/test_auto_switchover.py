@@ -128,6 +128,42 @@ class TestAutoSwitchover:
                 backend="xla", backend_schedule=("pallas",), **OPTS
             ).validate()
 
+    def test_fresh_stamp_starts_on_pallas(self, fake_tpu, caplog,
+                                          monkeypatch, tmp_path):
+        # Device warmth outlives processes (PERF.md): a fresh stamp file
+        # must let a COLD process start auto renders on the megakernel.
+        monkeypatch.setenv("CORNELIS_WARMTH_STAMP_DIR", str(tmp_path))
+        fake_tpu.mark_process_warm()  # writes the stamp
+        monkeypatch.setattr(fake_tpu, "_PROCESS_WARM", False)  # "new" process
+        assert fake_tpu.device_recently_warm(120.0)
+        opts = RenderOptions(backend="auto", warmup_threshold_s=600.0, **OPTS)
+        result = _render(opts, caplog)
+        assert result.backend_schedule == ("pallas",) * 4
+        assert any("warmth stamp" in m for m in caplog.messages)
+
+    def test_stale_stamp_serves_on_xla(self, fake_tpu, caplog,
+                                       monkeypatch, tmp_path):
+        import json
+        import time
+
+        monkeypatch.setenv("CORNELIS_WARMTH_STAMP_DIR", str(tmp_path))
+        fake_tpu.mark_process_warm()
+        monkeypatch.setattr(fake_tpu, "_PROCESS_WARM", False)
+        # Age the stamp beyond the window: warmth must not be trusted.
+        path = fake_tpu._warmth_stamp_path()
+        with open(path, "w") as f:
+            json.dump({"ts": time.time() - 1000.0}, f)
+        assert not fake_tpu.device_recently_warm(120.0)
+        opts = RenderOptions(
+            backend="auto", warmup_threshold_s=-1.0, **OPTS
+        )
+        result = _render(opts, caplog)
+        assert result.backend_schedule == ("xla",) * 4
+        # warm_device_max_age_s=0 disables the check even with a fresh stamp.
+        fake_tpu.mark_process_warm()
+        monkeypatch.setattr(fake_tpu, "_PROCESS_WARM", False)
+        assert not fake_tpu.device_recently_warm(0.0)
+
     def test_switched_image_matches_unswitched_in_distribution(
         self, fake_tpu, caplog
     ):

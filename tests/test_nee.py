@@ -25,7 +25,7 @@ from cornelis_tpu.scene.description import (
 from cornelis_tpu.scene.library import cornell_box
 
 
-def _render(scene, mode, W=32, H=32, spp=64, max_depth=16, seed=1):
+def _render(scene, mode, W=32, H=32, spp=64, max_depth=16, seed=1, **kw):
     return np.asarray(
         render_chunk(
             compile_scene(scene) if isinstance(scene, SceneDescription) else scene,
@@ -37,6 +37,7 @@ def _render(scene, mode, W=32, H=32, spp=64, max_depth=16, seed=1):
             spp_total=spp,
             max_depth=max_depth,
             mode=mode,
+            **kw,
         )
     ) / spp
 
@@ -242,3 +243,94 @@ class TestMIS:
         expect = EMISSION / (1.0 - rho)
         stderr = img.std() / np.sqrt(img.size / 3)
         assert abs(img.mean() - expect) < 6 * stderr + 0.015
+
+
+class TestNeeClamp:
+    """The scale-aware NEE firefly clamp (integrator.NEE_CLAMP_FACTOR).
+
+    Absolute thresholds are the bug class the scale-aware min_hit_t guard
+    fixed (COMPAT R10): a fixed 200 ceiling silently darkens a scene with
+    emission 1e4 and protects nothing in a dim one. The default ceiling is
+    16 x the scene's brightest emission channel (floored at 1); these
+    tests pin its value, that the furnace is untouched BY CONSTRUCTION
+    (bitwise, not statistically), the bounded Cornell energy delta, and
+    that a bright scene survives where an absolute 200 would crush it.
+    """
+
+    def test_auto_clamp_value_is_scale_aware(self):
+        from cornelis_tpu.integrator import NEE_CLAMP_FACTOR, auto_nee_clamp
+        from cornelis_tpu.ops.pallas_integrator import (
+            _host_nee_clamp,
+            host_scene_from_description,
+        )
+
+        cornell = cornell_box()  # max emission channel 15.0
+        assert float(auto_nee_clamp(compile_scene(cornell))) == 15.0 * NEE_CLAMP_FACTOR
+        # The megakernel's host-side computation agrees exactly.
+        assert _host_nee_clamp(
+            host_scene_from_description(cornell)
+        ) == 15.0 * NEE_CLAMP_FACTOR
+
+        bright = _lit_plane_scene(emission=1e4)
+        assert float(auto_nee_clamp(compile_scene(bright))) == 1e4 * NEE_CLAMP_FACTOR
+
+        # Lightless / dim scenes keep the floor ceiling of 1 x factor.
+        dim = SceneDescription()
+        dim.set_camera(PerspectiveCameraDescription())
+        dim.add_material(MaterialDescription(albedo=(0.5, 0.5, 0.5)))
+        assert float(auto_nee_clamp(compile_scene(dim))) == NEE_CLAMP_FACTOR
+
+    def test_furnace_unaffected_by_construction(self):
+        # The depth-aware ceiling majorizes Russian-roulette survivor
+        # reweighting (measured single-sample furnace radiance reaches
+        # ~135 x L_e at depth ~16; a FLAT 16 x L_e ceiling biased the
+        # furnace mean by 0.4%), so clamp-on and clamp-off renders must be
+        # BITWISE identical -- the closed-form convergence holds by
+        # construction, not luck.
+        from test_furnace import furnace_cube
+
+        scene = compile_scene(furnace_cube())
+        on = _render(scene, "nee", spp=32, max_depth=32, seed=5)
+        off = _render(scene, "nee", spp=32, max_depth=32, seed=5,
+                      nee_clamp=float("inf"))
+        np.testing.assert_array_equal(on, off)
+
+    def test_cornell_energy_delta_bounded(self):
+        # The clamp's bias on the shipped scene: clamp-on vs clamp-off
+        # Cornell means must agree to <0.1% (legit contributions stay
+        # ~16x under the ceiling; only pathological fireflies differ).
+        scene = compile_scene(cornell_box())
+        on = _render(scene, "nee", spp=64, seed=9)
+        off = _render(scene, "nee", spp=64, seed=9, nee_clamp=float("inf"))
+        delta = abs(on.mean() - off.mean()) / off.mean()
+        assert delta < 1e-3, f"clamp removed {delta:.2%} of Cornell energy"
+
+    def test_override_binds(self):
+        # An absolute override far below legit contributions must darken
+        # the image (proves the clamp actually applies in both terms).
+        scene = compile_scene(cornell_box())
+        tight = _render(scene, "nee", spp=32, seed=9, nee_clamp=0.05)
+        free = _render(scene, "nee", spp=32, seed=9)
+        assert tight.mean() < 0.9 * free.mean()
+
+    def test_bright_scene_survives_scale_aware_clamp(self):
+        # A BIG close light (radius 4, emission 1e4): the cone pdf is
+        # small, so single-bounce direct NEE contributions legitimately
+        # reach thousands -- an absolute 200 ceiling crushes them, the
+        # scale-aware default (1.6e5) must not.
+        scene = compile_scene(
+            _lit_plane_scene(light_center=(0.0, 5.0, 0.0), radius=4.0,
+                             emission=1e4)
+        )
+        auto = _render(scene, "nee", spp=32, seed=4)
+        crushed = _render(scene, "nee", spp=32, seed=4, nee_clamp=200.0)
+        region = np.s_[16:30, 8:24]  # directly lit floor
+        assert auto[region].mean() > 1.5 * crushed[region].mean(), (
+            f"auto {auto[region].mean():.1f} vs 200-clamp "
+            f"{crushed[region].mean():.1f}"
+        )
+        # And against the unbiased path-mode mean the auto clamp stays
+        # within MC tolerance (diffuse floor; quirk bias is small).
+        path = _render(scene, "path", spp=256, seed=17)
+        a, b = auto[region].mean(), path[region].mean()
+        assert abs(a - b) / b < 0.2, f"nee {a} vs path {b}"
