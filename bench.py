@@ -127,6 +127,60 @@ def _measure(
     return width * height * spp_chunk * TIMED_CHUNKS / elapsed
 
 
+def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
+                  max_depth: int = 8) -> dict:
+    """Differentiable-mode cost at a realistic shape (VERDICT r3 #4).
+
+    Times the REAL Adam train step (value_and_grad through the unrolled
+    wavefront, dual-buffer MSE loss = 2 independent renders per step,
+    diff/inverse.py) and the same loss WITHOUT the gradient, so the record
+    carries steps/s, forward+backward primary-ray throughput, and the
+    backward-over-forward cost ratio. The Pallas megakernel has no VJP --
+    diff mode always runs the XLA wavefront (PERF.md 'Differentiable
+    mode'), which is what is measured here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cornelis_tpu.diff.inverse import InverseRenderer, make_loss
+    from cornelis_tpu.scene.compile import compile_scene
+    from cornelis_tpu.scene.library import cornell_box
+    from cornelis_tpu.utils.barrier import device_barrier
+
+    scene = compile_scene(cornell_box())
+    target = jnp.zeros((height, width, 3), jnp.float32)
+    kw = dict(width=width, height=height, spp=spp, max_depth=max_depth)
+
+    inv = InverseRenderer(
+        scene, target, fields=("mat_albedo", "mat_roughness"), **kw
+    )
+    inv.step()  # compile + execute once (step() blocks on the loss value)
+    steps = 4
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        inv.step()
+    dt_step = (time.perf_counter() - t0) / steps
+
+    # The identical loss (2 renders, same unrolled program) without grad.
+    loss_fn = jax.jit(make_loss(target=target, base_scene=scene, **kw))
+    params = inv.state.params
+    key = jax.random.key(7)
+    device_barrier(loss_fn(params, key))
+    t0 = time.perf_counter()
+    for i in range(steps):
+        device_barrier(loss_fn(params, jax.random.fold_in(key, i)))
+    dt_fwd = (time.perf_counter() - t0) / steps
+
+    rays_per_step = width * height * spp * 2  # dual-buffer: 2 renders/step
+    return {
+        "diff_shape": f"{width}x{height}x{spp}spp_d{max_depth}",
+        "diff_steps_per_s": round(1.0 / dt_step, 3),
+        "diff_fwd_bwd_mrays": round(rays_per_step / dt_step / 1e6, 3),
+        "diff_fwd_mrays": round(rays_per_step / dt_fwd / 1e6, 3),
+        "diff_bwd_over_fwd": round(dt_step / dt_fwd - 1.0, 2),
+    }
+
+
 _SCALING_CHILD = r"""
 import sys, time, json
 n = int(sys.argv[1])
@@ -228,6 +282,8 @@ def main() -> None:
         "mrays_512_nee": round(rays_nee / 1e6, 3),
         "mrays_512_sobol": round(rays_sobol / 1e6, 3),
     }
+    if os.environ.get("BENCH_SKIP_DIFF") != "1":
+        record.update(_measure_diff())
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         eff = _scaling_efficiency()
         if eff is not None:

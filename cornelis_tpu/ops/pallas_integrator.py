@@ -117,7 +117,7 @@ def _warmth_stamp_path():
     import tempfile
 
     stamp_dir = os.environ.get("CORNELIS_WARMTH_STAMP_DIR")
-    dev = jax.devices()[0]
+    dev = jax.local_devices()[0]
     if dev.platform == "cpu" and not stamp_dir:
         return None
     fingerprint = "-".join(
@@ -239,7 +239,11 @@ def host_scene_from_description(descr) -> "HostScene":
     session's Pallas path transfer-free."""
     from ..scene.compile import compile_scene
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    # local_devices, NOT jax.devices(): in a multi-process job the global
+    # device list starts with rank 0's devices, and defaulting onto a
+    # non-addressable device makes the device_get below raise on every
+    # other rank (found by tests/test_multiprocess.py pallas-mesh case).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         return _to_host_tables(jax.device_get(compile_scene(descr)))
 
 

@@ -24,6 +24,25 @@ OURS = os.path.join(GOLDEN_DIR, "ours_cornell_512.png")
 
 GRID = 16
 
+# Provenance pins (GOLDEN_512.md "Artifact provenance"): the documented
+# hashes of the committed artifacts. A mismatch means the PNG was swapped
+# without updating the provenance record + re-deriving the tolerances.
+REF_SHA256 = "44ce1e495ed9f9dd44ef494c59c3ca008de1ed18bc44666657b3a31d8fba234e"
+OURS_SHA256 = "720f0dd0c07d9d9bb87c95a30c2e74dae510fc595b7ee41b0dc0b0e0819cb613"
+
+
+def test_artifact_provenance_hashes():
+    import hashlib
+
+    for path, expect in ((REF, REF_SHA256), (OURS, OURS_SHA256)):
+        with open(path, "rb") as f:
+            got = hashlib.sha256(f.read()).hexdigest()
+        assert got == expect, (
+            f"{os.path.basename(path)} sha256 {got} != documented {expect} "
+            "(update GOLDEN_512.md provenance + re-derive tolerances if "
+            "the regeneration was intentional)"
+        )
+
 
 def _linear(path):
     raw8 = read_png(path)

@@ -30,25 +30,35 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_pair(tmp_path, out, mode="plain"):
+def _launch(tmp_path, out, mode="plain", num_procs=2, devs_per_proc=2,
+            mesh=(4, 1)):
     port = _free_port()
 
     env = dict(os.environ)
-    # 2 virtual devices per rank -> 4 global devices for the (4, 1) mesh.
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # devs_per_proc virtual devices per rank -> num_procs * devs_per_proc
+    # global devices for the child's mesh.
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs_per_proc}"
+    )
     env.pop("JAX_PLATFORMS", None)  # child pins cpu via jax.config
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if mode == "pallas":
+        env["CORNELIS_PALLAS_INTERPRET"] = "1"
 
     procs = [
         subprocess.Popen(
-            [sys.executable, CHILD, str(rank), str(port), str(out), REPO, mode],
+            [
+                sys.executable, CHILD, str(rank), str(port), str(out),
+                REPO, mode, str(num_procs), str(devs_per_proc),
+                str(mesh[0]), str(mesh[1]),
+            ],
             env=env,
             cwd=str(tmp_path),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for rank in (0, 1)
+        for rank in range(num_procs)
     ]
     outputs = []
     for p in procs:
@@ -65,7 +75,7 @@ def _launch_pair(tmp_path, out, mode="plain"):
 
 def test_two_process_render_matches_single_process(tmp_path):
     out = tmp_path / "rank0.npy"
-    _launch_pair(tmp_path, out)
+    _launch(tmp_path, out)
     multi = np.load(out)
 
     # Single-process reference image, same options, in-process (the suite's
@@ -96,5 +106,56 @@ def test_two_process_time_budget_and_checkpoint_do_not_deadlock(tmp_path):
     agreed via rank-0 broadcast and only rank 0 writes the checkpoint
     (round-3 review findings) -- both ranks must exit cleanly."""
     out = tmp_path / "rank0b.npy"
-    _launch_pair(tmp_path, out, mode="budget")
+    _launch(tmp_path, out, mode="budget")
     assert (tmp_path / "rank0b.npy.ck.npz").exists()
+
+
+
+def _single_process_image(monkeypatch, pallas, **kw):
+    from cornelis_tpu.options import RenderOptions
+    from cornelis_tpu.render import RenderSession
+    from cornelis_tpu.scene.library import cornell_box
+
+    if pallas:
+        monkeypatch.setenv("CORNELIS_PALLAS_INTERPRET", "1")
+    opts = RenderOptions(
+        backend="pallas" if pallas else "xla", output=None, **kw
+    )
+    return RenderSession(cornell_box(), opts).render().image
+
+
+def test_four_process_samples_psum_crosses_ranks(tmp_path, monkeypatch):
+    """4 ranks x 1 virtual device on a (2, 2) tiles x samples mesh: with
+    one device per process, the samples-axis psum (and the tile allgather)
+    both CROSS process boundaries -- the full (tiles, samples) collective
+    topology the dryrun exercises in-process, proven over real process
+    boundaries at 4 ranks (VERDICT r3 #8)."""
+    out = tmp_path / "rank0q.npy"
+    _launch(tmp_path, out, mode="plain4", num_procs=4, devs_per_proc=1,
+            mesh=(2, 2))
+    multi = np.load(out)
+    single = _single_process_image(
+        monkeypatch, pallas=False,
+        width=64, height=64, samples_aa=4, spp_chunk=2, max_depth=8,
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_pallas_mesh_samples_psum(tmp_path, monkeypatch):
+    """The MESH MEGAKERNEL (interpret-lowered) across process boundaries:
+    2 ranks x 1 device on a (1, 2) mesh puts the samples-axis psum INSIDE
+    shard_map across the two processes, with the megakernel as each
+    device's body -- per-ray results are (pixel, sample)-keyed, so the
+    image matches a single-process megakernel render to float tolerance.
+    (4 interpret-mode ranks exceed this CI host's 2 cores: rank skew blows
+    gloo's 30 s context deadline -- the 4-rank topology is covered by the
+    cheap XLA test above.)"""
+    out = tmp_path / "rank0p.npy"
+    _launch(tmp_path, out, mode="pallas", num_procs=2, devs_per_proc=1,
+            mesh=(1, 2))
+    multi = np.load(out)
+    single = _single_process_image(
+        monkeypatch, pallas=True,
+        width=32, height=32, samples_aa=2, spp_chunk=2, max_depth=6,
+    )
+    np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)

@@ -1,17 +1,34 @@
-"""Error at equal WALL CLOCK for the estimator/sampler modes.
+"""Error at equal WALL CLOCK for the estimator/sampler modes (valid
+methodology -- VERDICT r3 #2 redo).
 
-README claims the NEE extension reaches ">=4x lower variance at equal spp";
-what a user actually cares about is error at equal *seconds*, since NEE
-pays a second in-kernel intersection pass per bounce (shadow rays) and
-sobol pays a per-draw scramble loop (VERDICT r2 #5). This tool measures
-both factors on the live backend and combines them:
+README claims the NEE extension reaches lower error at equal seconds; this
+tool measures it. The round-3 version was methodologically broken: it
+rendered ONE truth with nee+sobol and measured every mode against it --
+but path mode replicates the reference's *quirk* pdf (COMPAT #22-24),
+whose estimator converges to a DIFFERENT image than nee's true pdf, so
+the path rows' "MSE vs truth" contained a constant squared-bias floor
+that does not scale as 1/N, and extrapolating it as if it were variance
+inflated the headline ratio.
 
-  * truth: Cornell at 256x256, nee+sobol, TRUTH_SPP samples;
-  * per config (integrator x sampler): render PROBE_SPP samples, compute
-    the per-pixel MSE against truth over unclipped pixels, and time the
-    steady-state throughput (spp/s) of the same executable;
-  * RMSE at T seconds = sqrt(MSE_probe * PROBE_SPP / (spp_per_s * T))
-    (Monte-Carlo error scales as 1/sqrt(samples); samples = spp_per_s * T).
+This version:
+
+  * renders a PER-MODE truth (path truth with the path/quirk estimator,
+    nee truth with nee; both sobol -- the sample sequence does not change
+    an estimator's mean) at TRUTH_SPP;
+  * per config (mode x sampler): MSE at PROBE_SPP against ITS OWN mode's
+    truth -- a pure VARIANCE measurement that legitimately scales as 1/N
+    -- plus steady-state spp/s of the same executable;
+  * RMSE at T seconds = sqrt(MSE_probe * PROBE_SPP / (spp_per_s * T));
+  * reports the path<->nee ESTIMATOR-MEAN OFFSET (RMS difference of the
+    two truths over the same mask) as its own line: that component is
+    constant in time and must not be folded into "noise". It is the quirk
+    bias the reference ships, not an error of either measurement.
+
+Residual caveats (stated, not hidden): the nee truth uses the production
+firefly clamp, whose bias on Cornell is independently bounded <0.1%
+(tests/test_nee.py); path-mode MSE at PROBE_SPP is itself a noisy
+estimate under heavy-tailed firefly noise -- the reported ratios carry
+~tens-of-percent uncertainty, not the 3 digits printed.
 
 Writes one JSON line per config; paste the table into README.md.
 
@@ -58,7 +75,7 @@ def main() -> None:
     if on_tpu:
         register_host_scene(scene, host_scene_from_description(cornell_box()))
     key = make_key()
-    truth_key = make_key(421117)  # independent stream for the truth render
+    truth_key = make_key(421117)  # independent stream for the truth renders
 
     def render(spp, *, sampler, mode, k, chunk=CHUNK):
         fn = render_chunk_pallas if on_tpu else render_chunk
@@ -79,17 +96,43 @@ def main() -> None:
             acc = out if acc is None else acc + out
         return np.asarray(device_barrier(acc)) / spp
 
-    t0 = time.time()
-    truth = render(TRUTH_SPP, sampler="sobol", mode="nee", k=truth_key)
-    print(f"truth ({TRUTH_SPP} spp nee+sobol): {time.time() - t0:.1f} s", flush=True)
-    # Exclude pixels where truth itself is extreme (the light disc): their
-    # clamped display values don't drive perceived noise.
-    mask = truth.max(axis=-1) < 2.0
+    truths = {}
+    for mode in ("path", "nee"):
+        t0 = time.time()
+        truths[mode] = render(TRUTH_SPP, sampler="sobol", mode=mode, k=truth_key)
+        print(
+            f"{mode} truth ({TRUTH_SPP} spp, sobol): {time.time() - t0:.1f} s",
+            flush=True,
+        )
+
+    # Exclude pixels where either truth is extreme (the light disc and its
+    # specular images): their clamped display values don't drive perceived
+    # noise, and path-mode fireflies there would swamp the MSE estimate.
+    mask = np.maximum(
+        truths["path"].max(axis=-1), truths["nee"].max(axis=-1)
+    ) < 2.0
+
+    # The constant estimator-mean offset between the two truths: the quirk
+    # bias the path mode replicates (COMPAT #22-24). Reported separately --
+    # it does NOT shrink with render time and belongs in no variance column.
+    offset_rms = float(
+        np.sqrt(((truths["path"] - truths["nee"]) ** 2)[mask].mean())
+    )
+    print(
+        json.dumps(
+            {
+                "estimator_mean_offset_rms": round(offset_rms, 5),
+                "note": "path(quirk)<->nee mean difference over unclipped "
+                "pixels; constant in time, excluded from the RMSE rows",
+            }
+        ),
+        flush=True,
+    )
 
     for mode in ("path", "nee"):
         for sampler in ("uniform", "sobol"):
             img = render(PROBE_SPP, sampler=sampler, mode=mode, k=key)
-            mse = float(((img - truth) ** 2)[mask].mean())
+            mse = float(((img - truths[mode]) ** 2)[mask].mean())
 
             # Steady-state spp/s: re-render the probe's OWN spp so the same
             # (already-compiled) executable is timed -- a different
@@ -108,7 +151,7 @@ def main() -> None:
                     {
                         "mode": mode,
                         "sampler": sampler,
-                        "mse_at_probe_spp": round(mse, 8),
+                        "mse_vs_own_truth_at_probe_spp": round(mse, 8),
                         "probe_spp": PROBE_SPP,
                         "spp_per_s": round(spp_per_s, 1),
                         "mrays_per_s": round(spp_per_s * W * H / 1e6, 1),
