@@ -145,13 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--warm-device-max-age",
         type=float,
-        default=120.0,
+        default=3600.0,
         metavar="SECONDS",
         help="Auto backend: start directly on the Pallas megakernel when "
         "the device completed one within this many seconds (device "
-        "warmth outlives processes -- PERF.md; every completed megakernel "
-        "stamps a per-device file). 0 = never trust cross-process "
-        "warmth.",
+        "warmth outlives processes -- measured surviving >= 68 min, "
+        "PERF.md; every completed megakernel stamps a per-device file). "
+        "0 = never trust cross-process warmth.",
     )
     p.add_argument(
         "--save-schedule",

@@ -135,9 +135,26 @@ def _warmth_stamp_path():
     )
 
 
+_EXIT_STAMP_REGISTERED = False
+
+
 def mark_process_warm() -> None:
-    global _PROCESS_WARM
+    global _PROCESS_WARM, _EXIT_STAMP_REGISTERED
     _PROCESS_WARM = True
+    if not _EXIT_STAMP_REGISTERED:
+        # Re-stamp at process exit: direct-kernel users (bench, tools) may
+        # run megakernels long after the first mark, and the stamp should
+        # reflect the LAST time this process had a warm device -- with the
+        # hour-scale decay window (options.warm_device_max_age_s) the
+        # idle-tail overstatement is immaterial.
+        import atexit
+
+        atexit.register(_write_warmth_stamp)
+        _EXIT_STAMP_REGISTERED = True
+    _write_warmth_stamp()
+
+
+def _write_warmth_stamp() -> None:
     path = _warmth_stamp_path()
     if path is None:
         return

@@ -73,9 +73,13 @@ class RenderOptions:
     # completed megakernel stamps a per-device tmp file and a NEW process
     # whose device completed one within this many seconds starts auto
     # renders directly on the megakernel (skipping the serve-on-XLA
-    # phase). 0 disables the cross-process check. The default is the
-    # window PERF.md actually measured warmth surviving.
-    warm_device_max_age_s: float = 120.0
+    # phase). 0 disables the cross-process check. Round-4 measurement
+    # (PERF.md): a cold process ran warm_pallas in 1.3 s SIXTY-EIGHT
+    # MINUTES after the previous process exited -- warmth survives at
+    # least an hour on this transport, so the window defaults to one
+    # hour. Mis-prediction cost is bounded: a false-warm start just waits
+    # the init the auto path would otherwise have paid at switchover.
+    warm_device_max_age_s: float = 3600.0
     # Integrator estimator: "path" replicates the reference exactly
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected

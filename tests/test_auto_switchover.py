@@ -155,7 +155,8 @@ class TestAutoSwitchover:
             json.dump({"ts": time.time() - 1000.0}, f)
         assert not fake_tpu.device_recently_warm(120.0)
         opts = RenderOptions(
-            backend="auto", warmup_threshold_s=-1.0, **OPTS
+            backend="auto", warmup_threshold_s=-1.0,
+            warm_device_max_age_s=120.0, **OPTS
         )
         result = _render(opts, caplog)
         assert result.backend_schedule == ("xla",) * 4
