@@ -100,6 +100,7 @@ def make_loss(
     spp: int,
     max_depth: int = 8,
     key_strategy: str = "dual",
+    weight: Array | None = None,
 ):
     """MSE-vs-target loss over unconstrained params.
 
@@ -114,14 +115,35 @@ def make_loss(
       * "fixed": one key forever -- deterministic optimization of a fixed
         MC estimate; exact gradients, but overfits that noise realization
         (fine when the target was rendered with the same key).
+
+    weight: optional (H, W) or (H, W, 1/3) per-pixel loss weight. The
+    essential use: targets recovered from 8-BIT IMAGES clip at 1.0, but
+    the render produces physical radiance (a visible emitter is ~15 in
+    Cornell) -- unweighted MSE there is dominated by a constant
+    clipped-vs-physical mismatch that swamps every real gradient (round-4
+    measurement: loss floor 3.9 from the ~2% light-disc pixels alone, and
+    albedo DIVERGED). Zero-weight the clipped pixels and optimize the
+    rest.
     """
     if key_strategy not in ("dual", "per_step", "fixed"):
         raise ValueError(f"unknown key_strategy {key_strategy!r}")
+    if weight is not None:
+        weight = jnp.asarray(weight)
+        if weight.ndim == 2:
+            weight = weight[:, :, None]
+        # Mean over the weighted mass, not the full frame, so the loss
+        # scale is comparable with and without a mask.
+        norm = jnp.maximum(jnp.mean(weight), 1e-8)
 
     def _render(scene, key):
         return render_diff(
             scene, key, width=width, height=height, spp=spp, max_depth=max_depth
         )
+
+    def _mse(prod: Array) -> Array:
+        if weight is None:
+            return jnp.mean(prod)
+        return jnp.mean(prod * weight) / norm
 
     def loss_fn(params: Dict[str, Any], key: Array) -> Array:
         scene = apply_params(base_scene, params)
@@ -129,9 +151,9 @@ def make_loss(
             ka, kb = jax.random.split(key)
             a = _render(scene, ka) - target
             b = _render(scene, kb) - target
-            return jnp.mean(a * b)
+            return _mse(a * b)
         img = _render(scene, key)
-        return jnp.mean((img - target) ** 2)
+        return _mse((img - target) ** 2)
 
     return loss_fn
 
@@ -158,6 +180,7 @@ class InverseRenderer:
         learning_rate: float = 5e-2,
         seed: int = 0,
         key_strategy: str = "dual",
+        weight: Array | None = None,
     ):
         self.base_scene = scene
         self.optimizer = optax.adam(learning_rate)
@@ -176,6 +199,7 @@ class InverseRenderer:
             spp=spp,
             max_depth=max_depth,
             key_strategy=key_strategy,
+            weight=weight,
         )
         fixed = key_strategy == "fixed"
 

@@ -215,3 +215,35 @@ class TestInverseRender:
         scene = compile_scene(cornell_box())
         with pytest.raises(ValueError, match="not optimizable"):
             extract_params(scene, ("mat_ior",))
+
+
+class TestLossWeight:
+    def test_weight_masks_corrupted_pixels(self):
+        # 8-bit-recovered targets clip at 1.0 while the render produces
+        # physical radiance (~15 on an emitter) -- the weight mask is how
+        # inverse rendering from PNG targets stays sane (round-4 fix:
+        # unweighted optimization against the committed golden had a 3.9
+        # loss floor from the clipped light disc and diverged). Masked
+        # pixels must contribute NOTHING: corrupting them must not change
+        # the loss.
+        from cornelis_tpu.diff.inverse import extract_params, make_loss
+
+        scene = compile_scene(sphere_on_plane())
+        W = H = 16
+        key = jax.random.key(5)
+        target = np.asarray(render_diff(scene, key, width=W, height=H, spp=4, max_depth=3))
+        corrupted = target.copy()
+        corrupted[:4, :4] = 100.0  # "clipped emitter" region, wildly off
+        weight = np.ones((H, W), np.float32)
+        weight[:4, :4] = 0.0
+
+        params = extract_params(scene, ("mat_albedo",))
+        kw = dict(width=W, height=H, spp=4, max_depth=3, key_strategy="fixed")
+        clean = make_loss(scene, jnp.asarray(target), weight=jnp.asarray(weight), **kw)
+        dirty = make_loss(scene, jnp.asarray(corrupted), weight=jnp.asarray(weight), **kw)
+        lc = float(clean(params, key))
+        ld = float(dirty(params, key))
+        assert lc == ld, f"masked corruption leaked into the loss: {lc} vs {ld}"
+        # And the unweighted loss DOES see the corruption (sanity).
+        plain = make_loss(scene, jnp.asarray(corrupted), **kw)
+        assert float(plain(params, key)) > ld + 1.0

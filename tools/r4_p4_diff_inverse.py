@@ -59,6 +59,13 @@ def main() -> None:
     # 4x4 box downsample 512 -> 128 (the golden was rendered at 512; the
     # optimization runs at 128 -- the target must match the render grid).
     target = lin512.reshape(W, 4, W, 4, 3).mean(axis=(1, 3))
+    # The 8-bit golden CLIPS at 1.0; the render produces physical radiance
+    # (~15 on the light disc). Zero-weight every 128^2 pixel containing a
+    # clipped source pixel or the unweighted MSE there swamps the real
+    # gradients (measured: loss floor 3.9, albedo diverged).
+    clipped = (golden8.max(axis=-1) >= 250).reshape(W, 4, W, 4).max(axis=(1, 3))
+    weight = (~clipped).astype(np.float32)
+    print(f"masked {int(clipped.sum())}/{W*W} clipped pixels", flush=True)
 
     true_scene = compile_scene(cornell_box())
     true_albedo = np.stack(
@@ -86,6 +93,7 @@ def main() -> None:
         max_depth=8,
         learning_rate=5e-2,
         seed=3,
+        weight=jnp.asarray(weight),
     )
 
     STEPS = 300
