@@ -26,6 +26,11 @@ sys.path.insert(0, REPO)
 def main() -> None:
     import jax
 
+    skip_bench = "--skip-bench" in sys.argv
+    depth = int(sys.argv[sys.argv.index("--depth") + 1]) if "--depth" in sys.argv else 8
+    steps_n = int(sys.argv[sys.argv.index("--steps") + 1]) if "--steps" in sys.argv else 300
+    lr = float(sys.argv[sys.argv.index("--lr") + 1]) if "--lr" in sys.argv else 5e-2
+
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -43,10 +48,11 @@ def main() -> None:
 
     out = {}
 
-    t0 = time.time()
-    out["diff"] = bench._measure_diff()
-    print("diff bench:", json.dumps(out["diff"]), f"({time.time()-t0:.0f} s)",
-          flush=True)
+    if not skip_bench:
+        t0 = time.time()
+        out["diff"] = bench._measure_diff()
+        print("diff bench:", json.dumps(out["diff"]), f"({time.time()-t0:.0f} s)",
+              flush=True)
     with open("/tmp/r4_p4.json", "w") as f:
         json.dump(out, f, indent=1)
 
@@ -90,13 +96,13 @@ def main() -> None:
         width=W,
         height=W,
         spp=32,
-        max_depth=8,
-        learning_rate=5e-2,
+        max_depth=depth,
+        learning_rate=lr,
         seed=3,
         weight=jnp.asarray(weight),
     )
 
-    STEPS = 300
+    STEPS = steps_n
     curve = []
     t0 = time.time()
     for step in range(1, STEPS + 1):
@@ -118,7 +124,7 @@ def main() -> None:
     rec = inv.scene()
     rec_albedo = np.stack([np.asarray(c) for c in rec.mat_albedo], -1)
     out["inverse"] = {
-        "shape": f"{W}x{W}x32spp_d8",
+        "shape": f"{W}x{W}x32spp_d{depth}",
         "steps": STEPS,
         "total_s": round(time.time() - t0, 1),
         "final_loss": curve[-1]["loss"],
