@@ -334,3 +334,58 @@ class TestNeeClamp:
         path = _render(scene, "path", spp=256, seed=17)
         a, b = auto[region].mean(), path[region].mean()
         assert abs(a - b) / b < 0.2, f"nee {a} vs path {b}"
+
+
+class TestFireflyPinned:
+    """The exact firefly the clamp exists for, pinned by coordinates.
+
+    Found in the round-4 hunt (tools/r4_p6_xla_firefly.py + CPU
+    cross-check): Cornell 512^2, nee+sobol, default seed, pixel 77580
+    (x=268, y=151 -- the gold-sphere region), samples 544-575 contain a
+    single ~1.07e4-radiance double-grazing blowup that reproduces
+    BITWISE-CLOSE across all three lowerings (Pallas megakernel 10836.0,
+    XLA-TPU 10835.7, XLA-CPU 10836.1) -- unlike the 1e8-1e11 monsters,
+    which are knife-edge and backend-specific (those are pinned on-device
+    in docs/perf_r4/r4_p3.json: clamped to ~260, i.e. to the shallow
+    ceiling). This one bounces ~7 deep, so the RR-grown ceiling admits
+    ~2.8e3 of it -- the test pins BOTH numbers so a clamp regression
+    (either axis: scale or depth growth) moves one of them.
+    """
+
+    PIXEL = 77580
+    SAMPLES = (544, 576)
+
+    def _eval(self, **kw):
+        from cornelis_tpu.integrator import integrate_pixel_samples
+
+        scene = compile_scene(cornell_box())
+        out = integrate_pixel_samples(
+            scene,
+            make_key(),  # default seed
+            jnp.asarray([self.PIXEL], jnp.uint32),
+            jnp.arange(*self.SAMPLES, dtype=jnp.uint32),
+            width=512,
+            height=512,
+            spp_total=2048,
+            max_depth=64,
+            sampler="sobol",
+            mode="nee",
+            **kw,
+        )
+        return float(np.asarray(out).max())
+
+    def test_firefly_exists_unclamped(self):
+        raw = self._eval(nee_clamp=float("inf"))
+        assert raw > 5e3, f"pinned firefly vanished (got {raw}); did the " \
+            "sobol pipeline or BRDF quirks change?"
+
+    def test_default_clamp_suppresses_it(self):
+        raw = self._eval(nee_clamp=float("inf"))
+        clamped = self._eval()
+        assert clamped < 3.5e3, f"clamp admitted {clamped}"
+        assert clamped < raw / 3.0, (
+            f"suppression ratio collapsed: {raw} -> {clamped}"
+        )
+        # Legit samples around it stay untouched: the clamped value still
+        # carries the ~25-radiance legitimate energy of the other samples.
+        assert clamped > 20.0
