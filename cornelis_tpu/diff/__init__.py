@@ -1,6 +1,23 @@
 """Differentiable rendering and inverse-render optimization -- the
 capability layer the reference lacks entirely (north star, BASELINE.json
-config 4)."""
+config 4).
+
+Gradient-fidelity boundary (stated plainly): render_diff uses DETACHED
+sampling -- directions, RR decisions, and layer choices are
+stop-gradiented, and gradients flow through the shading integrand at the
+resulting fixed hit assignments. That makes MATERIAL gradients (albedo,
+roughness, emission, tint) well-behaved (finite-difference-checked in
+tests/test_diff.py) and supports end-to-end material recovery
+(PERF.md 2b: Cornell wall albedos to 0.050 MAE from the committed
+golden). GEOMETRY parameters (sphere_center, sphere_radius) get
+INTERIOR gradients only: the visibility/silhouette term -- which
+dominates for large position changes -- is not estimated, so recovering
+a displaced object position diverges (measured round 4: a 0.6-unit
+center offset walked AWAY under Adam). Radius passes small-perturbation
+FD checks because its interior shading signal is strong. Closing this
+needs edge-sampling or reparameterized visibility integrands
+(Mitsuba-3-style) -- recorded future work, beyond the reference's
+(non-differentiable) scope."""
 
 from .inverse import (
     OPTIMIZABLE_FIELDS,
