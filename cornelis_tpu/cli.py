@@ -88,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
         default="path",
         help="Estimator: 'path' replicates the reference exactly "
         "(emission-at-every-hit, no light sampling); 'nee' adds next-event "
-        "estimation toward emissive spheres + the corrected sampler "
+        "estimation toward emissive spheres and rectangle planes + the "
+        "corrected sampler "
         "density -- far lower variance for small lights, unbiased apart "
         "from the per-bounce firefly clamp (see --nee-clamp; extension; "
         "runs on both the XLA and Pallas backends).",

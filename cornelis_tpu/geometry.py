@@ -426,7 +426,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     )
 
     def plane_step(best: Hit, params):
-        nx, ny, nz, px, py, pz, width, height, material = params
+        nx, ny, nz, px, py, pz, width, height, material, idx = params
         normal = Vec3(nx, ny, nz)
         point = Vec3(px, py, pz)
         t, p, n, valid = plane_candidate(
@@ -438,7 +438,10 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             jnp.broadcast_to(n.y, shape),
             jnp.broadcast_to(n.z, shape),
         )
-        return _update_closest(best, t, p, n, material, valid, KIND_PLANE), None
+        return (
+            _update_closest(best, t, p, n, material, valid, KIND_PLANE, idx),
+            None,
+        )
 
     best, _ = jax.lax.scan(
         plane_step,
@@ -453,6 +456,7 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
             scene.plane_width,
             scene.plane_height,
             scene.plane_material,
+            jnp.arange(scene.num_planes, dtype=jnp.int32),
         ),
         unroll=True,
     )

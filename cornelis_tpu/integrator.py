@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import generate_rays
-from .geometry import KIND_SPHERE, intersect_scene
+from .geometry import KIND_PLANE, KIND_SPHERE, intersect_scene
 from .materials import (
     emission,
     gather_materials,
@@ -151,18 +151,37 @@ def _luminance(c: RGB) -> Array:
     return 0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
 
 
-def _light_probs(scene: SceneArrays):
-    """Power-proportional sphere-light selection distribution: (S,) probs
-    (luminance(L_e) * r^2, normalized) and a has-light flag."""
-    weights = []
-    for s in range(scene.num_spheres):
-        mid = scene.sphere_material[s]
-        le = RGB(
+def _emitter_luminance(scene: SceneArrays, mid) -> Array:
+    return _luminance(
+        RGB(
             scene.mat_emission.x[mid],
             scene.mat_emission.y[mid],
             scene.mat_emission.z[mid],
         )
-        weights.append(_luminance(le) * scene.sphere_radius[s] ** 2)
+    )
+
+
+def _light_probs(scene: SceneArrays):
+    """Power-proportional selection distribution over ALL area emitters --
+    spheres first, then finite-rectangle planes -- as (S + P,) probs plus
+    a has-light flag. Weights are luminance(L_e) x surface area (sphere
+    4 pi r^2, plane w x h), so a dim huge panel and a bright small bulb
+    are picked in proportion to emitted power. (Round 4 extension: planes
+    were previously not light-sampled at all -- plane-lit scenes got no
+    NEE benefit.)"""
+    weights = []
+    for s in range(scene.num_spheres):
+        weights.append(
+            _emitter_luminance(scene, scene.sphere_material[s])
+            * (4.0 * PI)
+            * scene.sphere_radius[s] ** 2
+        )
+    for p in range(scene.num_planes):
+        weights.append(
+            _emitter_luminance(scene, scene.plane_material[p])
+            * scene.plane_width[p]
+            * scene.plane_height[p]
+        )
     w = jnp.stack(weights)
     total = jnp.sum(w)
     has_light = total > 0.0
@@ -180,89 +199,197 @@ def _cone_pdf(d2: Array, radius: Array) -> Array:
     return jnp.where(outside, pdf, 0.0)
 
 
-def _light_pdf_for_hit(
-    scene: SceneArrays, probs: Array, from_p: Vec3, sphere_idx: Array
-) -> Array:
-    """Joint NEE density (selection x cone solid angle) of having sampled,
-    from `from_p`, the direction that hit sphere `sphere_idx` -- the
-    counter-strategy pdf for MIS at a BSDF-sampled emitter hit. Zero for
-    non-sphere hits (idx < 0) and zero-probability spheres."""
-    idx = jnp.maximum(sphere_idx, 0)
-    cx = scene.sphere_center.x[idx]
-    cy = scene.sphere_center.y[idx]
-    cz = scene.sphere_center.z[idx]
-    radius = scene.sphere_radius[idx]
-    p_sel = probs[idx]
-    d2 = (
-        (cx - from_p.x) ** 2 + (cy - from_p.y) ** 2 + (cz - from_p.z) ** 2
-    )
-    pdf = p_sel * _cone_pdf(d2, radius)
-    return jnp.where(sphere_idx >= 0, pdf, 0.0)
+def _light_pdf_for_hit(scene: SceneArrays, probs: Array, from_p: Vec3, hit) -> Array:
+    """Joint NEE density of having sampled, from `from_p`, the direction
+    that produced `hit` -- the counter-strategy pdf for MIS at a
+    BSDF-sampled emitter hit. Sphere hits: selection x uniform-cone solid
+    angle. Plane hits: selection x area->solid-angle Jacobian
+    t^2 / (A |cos theta_l|) at the hit point. Zero for misses, SDF hits
+    (not light-sampled), and zero-probability emitters -- so the MIS
+    weight prev_pdf / (prev_pdf + this) degrades to 1 exactly where NEE
+    has no counter-strategy."""
+    idx = jnp.maximum(hit.prim, 0)
+    zeros = jnp.zeros_like(from_p.x)
+
+    if scene.num_spheres:
+        sidx = idx % scene.num_spheres
+        cx = scene.sphere_center.x[sidx]
+        cy = scene.sphere_center.y[sidx]
+        cz = scene.sphere_center.z[sidx]
+        radius = scene.sphere_radius[sidx]
+        d2 = (cx - from_p.x) ** 2 + (cy - from_p.y) ** 2 + (cz - from_p.z) ** 2
+        p_sph = probs[sidx] * _cone_pdf(d2, radius)
+    else:
+        p_sph = zeros
+
+    if scene.num_planes:
+        pidx = idx % scene.num_planes
+        area = jnp.maximum(
+            scene.plane_width[pidx] * scene.plane_height[pidx], 1e-12
+        )
+        nrm = Vec3(
+            scene.plane_normal.x[pidx],
+            scene.plane_normal.y[pidx],
+            scene.plane_normal.z[pidx],
+        )
+        # The hit carries no ray direction; reconstruct it from the hit
+        # point (the direction NEE would have had to sample).
+        to_hit = hit.position - from_p
+        d_hit = jnp.sqrt(jnp.maximum(mag2(to_hit), 1e-12))
+        wi = Vec3(to_hit.x / d_hit, to_hit.y / d_hit, to_hit.z / d_hit)
+        cos_l = jnp.abs(dot(wi, nrm))
+        p_pln = (
+            probs[scene.num_spheres + pidx]
+            * d_hit
+            * d_hit
+            / (area * jnp.maximum(cos_l, 1e-6))
+        )
+    else:
+        p_pln = zeros
+
+    pdf = jnp.where(hit.kind == KIND_SPHERE, p_sph, 0.0)
+    pdf = jnp.where(hit.kind == KIND_PLANE, p_pln, pdf)
+    return jnp.where(hit.prim >= 0, pdf, 0.0)
 
 
-def _sample_sphere_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
-    """Pick one emissive sphere (power-proportional) and cone-sample a
-    direction toward it from p.
+def _sample_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
+    """Pick one emitter (power-proportional over spheres + rectangle
+    planes, _light_probs order) and sample a direction toward it from p:
+    uniform-cone for spheres, uniform-area with the t^2/(A cos) Jacobian
+    for planes (two-sided, matching emission-on-any-hit).
 
     Returns (wi, t_light, pdf, radiance, valid): pdf is the joint
-    selection x solid-angle density; valid is False where no light exists,
-    p is inside the chosen sphere, or the cone degenerates. All unrolled
-    selects over the (small, static) sphere table -- branch-free VPU work.
+    selection x solid-angle density; valid is False where no light
+    exists, p is inside the chosen sphere, or the geometry degenerates.
+    All unrolled selects over the (small, static) tables -- branch-free
+    VPU work.
     """
     n_sph = scene.num_spheres
+    n_pln = scene.num_planes
+    n_all = n_sph + n_pln
     zeros = jnp.zeros_like(p.x)
-    if n_sph == 0:
+    if n_all == 0:
         z3 = Vec3(zeros, zeros, zeros)
         return z3, zeros, jnp.ones_like(p.x), RGB(zeros, zeros, zeros), zeros.astype(bool)
 
     probs, has_light = _light_probs(scene)
 
-    # Categorical draw via the cumulative distribution (unrolled; S small).
+    # Categorical draw via the cumulative distribution (unrolled; small).
     cum = jnp.cumsum(probs)
     sel = jnp.zeros_like(p.x, dtype=jnp.int32)
-    for s in range(n_sph - 1):
+    for s in range(n_all - 1):
         sel = jnp.where(u_sel > cum[s], s + 1, sel)
 
-    def pick(arr):
-        out = jnp.broadcast_to(arr[0], p.x.shape)
-        for s in range(1, n_sph):
-            out = jnp.where(sel == s, arr[s], out)
+    def pick(vals):
+        out = jnp.broadcast_to(vals[0], p.x.shape)
+        for s in range(1, len(vals)):
+            out = jnp.where(sel == s, vals[s], out)
         return out
 
-    cx, cy, cz = pick(scene.sphere_center.x), pick(scene.sphere_center.y), pick(scene.sphere_center.z)
-    radius = pick(scene.sphere_radius)
-    p_sel = pick(probs)
-    mid = pick(scene.sphere_material.astype(jnp.float32)).astype(jnp.int32)
+    p_sel = pick([probs[i] for i in range(n_all)])
+    mids = [scene.sphere_material[s] for s in range(n_sph)] + [
+        scene.plane_material[q] for q in range(n_pln)
+    ]
+    mid = pick([m.astype(jnp.float32) for m in mids]).astype(jnp.int32)
     params = gather_materials(scene, mid)
     radiance = params.emission
+    is_plane = sel >= n_sph
 
-    to_c = Vec3(cx - p.x, cy - p.y, cz - p.z)
-    d2 = mag2(to_c)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    outside = d > radius * 1.0001
+    # --- sphere branch (uniform cone) -----------------------------------
+    # pick over sphere-only tables: clamp sel into the sphere range.
+    ssel = jnp.minimum(sel, max(n_sph - 1, 0))
 
-    sin2max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
-    one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
+    def pick_s(arr):
+        out = jnp.broadcast_to(arr[0], p.x.shape) if n_sph else zeros
+        for s in range(1, n_sph):
+            out = jnp.where(ssel == s, arr[s], out)
+        return out
 
-    cos_t = 1.0 - u1 * one_minus
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    phi = 2.0 * PI * u2
+    if n_sph:
+        cx, cy, cz = (
+            pick_s(scene.sphere_center.x),
+            pick_s(scene.sphere_center.y),
+            pick_s(scene.sphere_center.z),
+        )
+        radius = pick_s(scene.sphere_radius)
+        to_c = Vec3(cx - p.x, cy - p.y, cz - p.z)
+        d2 = mag2(to_c)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        outside = d > radius * 1.0001
 
-    axis = Vec3(to_c.x / d, to_c.y / d, to_c.z / d)
-    basis = construct_basis(axis)
-    wi = (
-        basis.t * (sin_t * jnp.cos(phi))
-        + basis.b * (sin_t * jnp.sin(phi))
-        + basis.n * cos_t
-    )
+        sin2max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+        one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
 
-    # Hit distance along wi (the near root of the sphere quadratic).
-    t_light = d * cos_t - jnp.sqrt(
-        jnp.maximum(radius * radius - d2 * (1.0 - cos_t * cos_t), 0.0)
-    )
-    pdf = p_sel / (2.0 * PI * one_minus)
-    valid = has_light & outside & (p_sel > 0.0) & (t_light > 0.0)
+        cos_t = 1.0 - u1 * one_minus
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = 2.0 * PI * u2
+
+        axis = Vec3(to_c.x / d, to_c.y / d, to_c.z / d)
+        basis = construct_basis(axis)
+        wi_s = (
+            basis.t * (sin_t * jnp.cos(phi))
+            + basis.b * (sin_t * jnp.sin(phi))
+            + basis.n * cos_t
+        )
+        # Hit distance along wi (the near root of the sphere quadratic).
+        t_s = d * cos_t - jnp.sqrt(
+            jnp.maximum(radius * radius - d2 * (1.0 - cos_t * cos_t), 0.0)
+        )
+        pdf_s = p_sel / (2.0 * PI * one_minus)
+        valid_s = outside & (t_s > 0.0)
+    else:
+        wi_s = Vec3(zeros, zeros, zeros)
+        t_s = zeros
+        pdf_s = jnp.ones_like(zeros)
+        valid_s = zeros.astype(bool)
+
+    # --- plane branch (uniform area on the rect) ------------------------
+    psel = jnp.maximum(sel - n_sph, 0)
+
+    def pick_p(arr):
+        out = jnp.broadcast_to(arr[0], p.x.shape) if n_pln else zeros
+        for s in range(1, n_pln):
+            out = jnp.where(psel == s, arr[s], out)
+        return out
+
+    if n_pln:
+        nrm = Vec3(
+            pick_p(scene.plane_normal.x),
+            pick_p(scene.plane_normal.y),
+            pick_p(scene.plane_normal.z),
+        )
+        anchor = Vec3(
+            pick_p(scene.plane_point.x),
+            pick_p(scene.plane_point.y),
+            pick_p(scene.plane_point.z),
+        )
+        w = pick_p(scene.plane_width)
+        h = pick_p(scene.plane_height)
+        pbasis = construct_basis(nrm)
+        q = (
+            anchor
+            + pbasis.t * ((u1 - 0.5) * w)
+            + pbasis.b * ((u2 - 0.5) * h)
+        )
+        to_q = q - p
+        d2q = mag2(to_q)
+        dq = jnp.sqrt(jnp.maximum(d2q, 1e-12))
+        wi_p = Vec3(to_q.x / dq, to_q.y / dq, to_q.z / dq)
+        cos_l = jnp.abs(dot(wi_p, nrm))  # two-sided emitter
+        area = jnp.maximum(w * h, 1e-12)
+        pdf_p = p_sel * d2q / (area * jnp.maximum(cos_l, 1e-6))
+        valid_p = (cos_l > 1e-6) & (dq > 1e-6)
+    else:
+        wi_p = Vec3(zeros, zeros, zeros)
+        dq = zeros
+        pdf_p = jnp.ones_like(zeros)
+        valid_p = zeros.astype(bool)
+
+    wi = where(is_plane, wi_p, wi_s)
+    t_light = jnp.where(is_plane, dq, t_s)
+    pdf = jnp.where(is_plane, pdf_p, pdf_s)
+    valid = has_light & (p_sel > 0.0) & jnp.where(is_plane, valid_p, valid_s)
     return wi, t_light, jnp.maximum(pdf, 1e-12), radiance, valid
 
 
@@ -306,25 +433,23 @@ def _bounce(
     params = gather_materials(scene, hit.material)
 
     # Emission pickup. path: L += throughput * L_e at every hit (no NEE;
-    # Render.cpp:187). nee: sphere-emitter hits are MIS-weighted against
-    # the light-sampling strategy (weight 1 at depth 0 and for emitter
-    # kinds NEE cannot sample -- planes/SDFs).
+    # Render.cpp:187). nee: sphere- AND plane-emitter hits are
+    # MIS-weighted against the light-sampling strategy (weight 1 at depth
+    # 0 and for emitter kinds NEE cannot sample -- SDFs;
+    # _light_pdf_for_hit returns 0 exactly there, so one formula covers
+    # every case).
     contrib = state.throughput * emission(params)
     if nee:
-        light_probs, _ = _light_probs(scene) if scene.num_spheres else (None, None)
         emis_w = jnp.ones_like(state.prev_pdf)
-        if scene.num_spheres:
+        if scene.num_spheres + scene.num_planes:
+            light_probs, _ = _light_probs(scene)
             p_light_hit = _light_pdf_for_hit(
-                scene, light_probs, state.origin, hit.prim
+                scene, light_probs, state.origin, hit
             )
-            mis_sphere = state.prev_pdf / jnp.maximum(
+            mis_emis = state.prev_pdf / jnp.maximum(
                 state.prev_pdf + p_light_hit, 1e-12
             )
-            emis_w = jnp.where(
-                (state.depth > 0) & (hit.kind == KIND_SPHERE),
-                mis_sphere,
-                emis_w,
-            )
+            emis_w = jnp.where(state.depth > 0, mis_emis, emis_w)
         contrib = RGB(contrib.x * emis_w, contrib.y * emis_w, contrib.z * emis_w)
         # Indirect clamp (see NEE_CLAMP_FACTOR); depth 0 = the camera
         # looking straight at an emitter, never clamped.
@@ -362,9 +487,9 @@ def _bounce(
     w_out = -state.direction
 
     if nee:
-        # Next-event estimation: one cone-sampled shadow ray toward a
-        # power-selected emissive sphere.
-        wi_l, t_light, pdf_l, light_le, valid_l = _sample_sphere_light(
+        # Next-event estimation: one shadow ray toward a power-selected
+        # emitter (cone-sampled sphere or area-sampled rectangle plane).
+        wi_l, t_light, pdf_l, light_le, valid_l = _sample_light(
             scene, hit.position, u[:, 4], u[:, 5], u[:, 6]
         )
         cos_l = dot(wi_l, hit.normal)

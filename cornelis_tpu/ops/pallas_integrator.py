@@ -346,9 +346,10 @@ def _const_camera(cam: tuple) -> Camera:
 def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
     """Closest hit against the baked scene tables: fully unrolled object
     loop (spheres then planes, strict best_t > t update -- the semantics of
-    geometry._update_closest / src/Render.cpp:110-150). Also tracks which
-    sphere (table index, -1 otherwise) the closest hit belongs to -- the
-    NEE mode's MIS weights need it."""
+    geometry._update_closest / src/Render.cpp:110-150). Also tracks the
+    UNIFIED emitter-candidate index of the closest hit (sphere i -> i,
+    plane j -> S + j, SDFs/miss -> -1), aligned with _light_table row
+    order -- the NEE mode's MIS weights key off it."""
     from ..geometry import min_hit_t
 
     shape = o.x.shape
@@ -379,7 +380,8 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
     for s_idx, (cx, cy, cz, rad, mid) in enumerate(scene.spheres):
         t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad, tmin=tmin)
         state = update(state, (t, p, n, valid, mid), s_idx)
-    for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
+    n_sph = len(scene.spheres)
+    for p_idx, (nx, ny, nz, px, py, pz, w, h, mid) in enumerate(scene.planes):
         normal = Vec3(nx, ny, nz)
         point = Vec3(px, py, pz)
         t, p, n, valid = plane_candidate(o, d, normal, point, w, h, tmin=tmin)
@@ -388,7 +390,9 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
             jnp.broadcast_to(n.y, shape),
             jnp.broadcast_to(n.z, shape),
         )
-        state = update(state, (t, p, n, valid, mid))
+        # Unified prim index: spheres 0..S-1, planes S..S+P-1 -- aligned
+        # with _light_table row order (the NEE MIS weights key off it).
+        state = update(state, (t, p, n, valid, mid), n_sph + p_idx)
     for kind, cx, cy, cz, params, mid, rot, scale in scene.sdfs:
         # Shared sphere-trace with the XLA path (geometry.sdf_candidate);
         # kind/params/rot/scale embed as literals, the march's fori_loop
@@ -402,25 +406,38 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
 
 
 def _light_table(scene: HostScene):
-    """Host-side power-proportional light-selection table over the baked
-    spheres: rows (prob, cumulative, cx, cy, cz, radius, (r, g, b) L_e),
-    or None when nothing emits. Pure Python floats -> kernel literals."""
+    """Host-side power-proportional light-selection table over ALL baked
+    area emitters -- spheres first, then rectangle planes, index-aligned
+    with _intersect_const's unified prim index -- or None when nothing
+    emits. Rows (prob, cumulative, kind, (g0..g7), (r, g, b) L_e): kind 0
+    = sphere with g = (cx, cy, cz, radius, 0...), kind 1 = plane with
+    g = (nx, ny, nz, px, py, pz, width, height). Weights are
+    luminance x area (sphere 4 pi r^2, plane w x h), matching
+    integrator._light_probs. Pure Python floats -> kernel literals."""
+    import math
+
     rows = []
     total = 0.0
     for cx, cy, cz, rad, mid in scene.spheres:
         le = scene.materials[mid][1]
         lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
-        power = lum * rad * rad
-        rows.append([power, cx, cy, cz, rad, le])
+        power = lum * 4.0 * math.pi * rad * rad
+        rows.append([power, 0, (cx, cy, cz, rad, 0.0, 0.0, 0.0, 0.0), le])
+        total += power
+    for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
+        le = scene.materials[mid][1]
+        lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
+        power = lum * w * h
+        rows.append([power, 1, (nx, ny, nz, px, py, pz, w, h), le])
         total += power
     if total <= 0.0:
         return None
     out = []
     cum = 0.0
-    for power, cx, cy, cz, rad, le in rows:
+    for power, kind, geom, le in rows:
         prob = power / total
         cum += prob
-        out.append((prob, cum, cx, cy, cz, rad, le))
+        out.append((prob, cum, kind, geom, le))
     return tuple(out)
 
 
@@ -520,27 +537,41 @@ def _make_kernel(
 
             contrib = tput * params.emission
             if nee and lights is not None:
-                # MIS weight for reaching a light-sampled sphere emitter by
-                # BSDF sampling: prev_pdf / (prev_pdf + p_nee(hit)). Weight
-                # 1 at depth 0 and for plane/SDF emitters.
+                # MIS weight for reaching a light-sampled emitter (sphere
+                # OR rectangle plane) by BSDF sampling:
+                # prev_pdf / (prev_pdf + p_nee(hit)). Weight 1 at depth 0
+                # and for SDF emitters (not light-sampled: p_nee = 0).
                 p_light = jnp.zeros_like(t)
-                for s_idx, (pr, _, lcx, lcy, lcz, lrad, _le) in enumerate(
-                    lights
-                ):
-                    d2 = (
-                        (lcx - o.x) ** 2 + (lcy - o.y) ** 2 + (lcz - o.z) ** 2
-                    )
-                    sin2max = jnp.clip(
-                        lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
-                    )
-                    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
-                    cone = pr / (
-                        2.0 * PI * jnp.maximum(1.0 - cos_max, 1e-9)
-                    )
-                    cone = jnp.where(
-                        d2 > (lrad * lrad) * 1.0002, cone, 0.0
-                    )
-                    p_light = jnp.where(sph_idx == s_idx, cone, p_light)
+                for li, (pr, _, lkind, g, _le) in enumerate(lights):
+                    if lkind == 0:
+                        lcx, lcy, lcz, lrad = g[0], g[1], g[2], g[3]
+                        d2 = (
+                            (lcx - o.x) ** 2
+                            + (lcy - o.y) ** 2
+                            + (lcz - o.z) ** 2
+                        )
+                        sin2max = jnp.clip(
+                            lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
+                        )
+                        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+                        cand = pr / (
+                            2.0 * PI * jnp.maximum(1.0 - cos_max, 1e-9)
+                        )
+                        cand = jnp.where(
+                            d2 > (lrad * lrad) * 1.0002, cand, 0.0
+                        )
+                    else:
+                        # Area->solid-angle Jacobian at the hit distance:
+                        # pr * t^2 / (A |cos(d . n_plane)|).
+                        lnx, lny, lnz = g[0], g[1], g[2]
+                        area = max(g[6] * g[7], 1e-12)
+                        cos_l = jnp.abs(
+                            d.x * lnx + d.y * lny + d.z * lnz
+                        )
+                        cand = (
+                            pr * t * t / (area * jnp.maximum(cos_l, 1e-6))
+                        )
+                    p_light = jnp.where(sph_idx == li, cand, p_light)
                 w_emis = jnp.where(
                     depth > 0,
                     prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
@@ -578,28 +609,26 @@ def _make_kernel(
             if nee and lights is not None:
                 u_sel, ul1 = draw_pair(stream, 2)
                 ul2, _spare = draw_pair(stream, 3)
-                # Select a light by the cumulative table (literals).
-                lcx = jnp.full_like(t, lights[0][2])
-                lcy = jnp.full_like(t, lights[0][3])
-                lcz = jnp.full_like(t, lights[0][4])
-                lrad = jnp.full_like(t, lights[0][5])
-                lpr = jnp.full_like(t, lights[0][0])
-                ler = jnp.full_like(t, lights[0][6][0])
-                leg = jnp.full_like(t, lights[0][6][1])
-                leb = jnp.full_like(t, lights[0][6][2])
-                for (pr, _, cx_, cy_, cz_, rad_, le_), (_, cum_prev, *_r) in zip(
-                    lights[1:], lights[:-1]
-                ):
-                    take = u_sel > cum_prev
-                    lcx = jnp.where(take, cx_, lcx)
-                    lcy = jnp.where(take, cy_, lcy)
-                    lcz = jnp.where(take, cz_, lcz)
-                    lrad = jnp.where(take, rad_, lrad)
-                    lpr = jnp.where(take, pr, lpr)
-                    ler = jnp.where(take, le_[0], ler)
-                    leg = jnp.where(take, le_[1], leg)
-                    leb = jnp.where(take, le_[2], leb)
+                # Select an emitter by the cumulative table (literals):
+                # rows (prob, cum, kind, g0..g7, le) -- kind 0 sphere
+                # g = (cx, cy, cz, rad, ...), kind 1 plane
+                # g = (nx, ny, nz, px, py, pz, w, h).
+                def lit_select(field):
+                    acc = jnp.full_like(t, field(lights[0]))
+                    for row, prev in zip(lights[1:], lights[:-1]):
+                        acc = jnp.where(u_sel > prev[1], field(row), acc)
+                    return acc
 
+                lg = [lit_select(lambda r, i=i: r[3][i]) for i in range(8)]
+                lpr = lit_select(lambda r: r[0])
+                lkind = lit_select(lambda r: float(r[2]))
+                ler = lit_select(lambda r: r[4][0])
+                leg = lit_select(lambda r: r[4][1])
+                leb = lit_select(lambda r: r[4][2])
+                is_pln = lkind > 0.5
+
+                # --- sphere branch: uniform cone -----------------------
+                lcx, lcy, lcz, lrad = lg[0], lg[1], lg[2], lg[3]
                 to_c = Vec3(lcx - p.x, lcy - p.y, lcz - p.z)
                 d2 = to_c.x**2 + to_c.y**2 + to_c.z**2
                 dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -614,17 +643,48 @@ def _make_kernel(
                 phi = 2.0 * PI * ul2
                 laxis = Vec3(to_c.x / dist, to_c.y / dist, to_c.z / dist)
                 lbasis = construct_basis(laxis)
-                wi_l = (
+                wi_s = (
                     lbasis.t * (sin_t * jnp.cos(phi))
                     + lbasis.b * (sin_t * jnp.sin(phi))
                     + lbasis.n * cos_t
                 )
-                t_light = dist * cos_t - jnp.sqrt(
+                t_s = dist * cos_t - jnp.sqrt(
                     jnp.maximum(
                         lrad * lrad - d2 * (1.0 - cos_t * cos_t), 0.0
                     )
                 )
-                pdf_l = jnp.maximum(lpr / (2.0 * PI * one_minus), 1e-12)
+                pdf_s = lpr / (2.0 * PI * one_minus)
+                valid_s = outside & (t_s > 0.0)
+
+                # --- plane branch: uniform area + t^2/(A cos) Jacobian --
+                lnrm = Vec3(lg[0], lg[1], lg[2])
+                lanchor = Vec3(lg[3], lg[4], lg[5])
+                lw, lh = lg[6], lg[7]
+                pl_basis = construct_basis(lnrm)
+                q = (
+                    lanchor
+                    + pl_basis.t * ((ul1 - 0.5) * lw)
+                    + pl_basis.b * ((ul2 - 0.5) * lh)
+                )
+                to_q = Vec3(q.x - p.x, q.y - p.y, q.z - p.z)
+                d2q = to_q.x**2 + to_q.y**2 + to_q.z**2
+                dq = jnp.sqrt(jnp.maximum(d2q, 1e-12))
+                wi_p = Vec3(to_q.x / dq, to_q.y / dq, to_q.z / dq)
+                cos_lp = jnp.abs(dot(wi_p, lnrm))  # two-sided emitter
+                area = jnp.maximum(lw * lh, 1e-12)
+                pdf_p = lpr * d2q / (area * jnp.maximum(cos_lp, 1e-6))
+                valid_p = (cos_lp > 1e-6) & (dq > 1e-6)
+
+                wi_l = Vec3(
+                    jnp.where(is_pln, wi_p.x, wi_s.x),
+                    jnp.where(is_pln, wi_p.y, wi_s.y),
+                    jnp.where(is_pln, wi_p.z, wi_s.z),
+                )
+                t_light = jnp.where(is_pln, dq, t_s)
+                pdf_l = jnp.maximum(
+                    jnp.where(is_pln, pdf_p, pdf_s), 1e-12
+                )
+                valid_l = jnp.where(is_pln, valid_p, valid_s)
                 cos_surf = dot(wi_l, n)
                 shadow_o = p + wi_l * BOUNCE_EPSILON
                 t_occ, _p2, _n2, _m2, occ_hit, _s2 = _intersect_const(
@@ -635,7 +695,7 @@ def _make_kernel(
                 p_bsdf_l = layered_pdf_true(wi_l, w_out, n, params)
                 mis_l = pdf_l / jnp.maximum(pdf_l + p_bsdf_l, 1e-12)
                 nee_mask = (
-                    active & outside & visible & (cos_surf > 0.0) & (t_light > 0.0)
+                    active & valid_l & visible & (cos_surf > 0.0)
                 )
                 nee_scale = jnp.where(nee_mask, mis_l * cos_surf / pdf_l, 0.0)
                 # Indirect clamp (integrator.NEE_CLAMP_FACTOR,

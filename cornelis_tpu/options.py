@@ -84,9 +84,10 @@ class RenderOptions:
     # (emission at every hit, no light sampling, the quirky averaged
     # layered pdf -- required for golden match); "nee" is the corrected
     # extension (MIS-combined next-event estimation toward emissive
-    # spheres + the true sampler density) -- unbiased, typically an order
-    # of magnitude lower variance for small lights. Supported by both the
-    # XLA wavefront and the Pallas megakernel.
+    # spheres AND rectangle planes + the true sampler density) --
+    # unbiased apart from the bounded firefly clamp (see nee_clamp),
+    # typically orders of magnitude lower variance for small lights.
+    # Supported by both the XLA wavefront and the Pallas megakernel.
     integrator: str = "path"
     # NEE firefly clamp: per-channel ceiling on any single bounce's
     # radiance contribution in nee mode (depth-0 emitter sightings exempt).

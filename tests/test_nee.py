@@ -389,3 +389,89 @@ class TestFireflyPinned:
         # Legit samples around it stay untouched: the clamped value still
         # carries the ~25-radiance legitimate energy of the other samples.
         assert clamped > 20.0
+
+
+def _panel_scene(emission=40.0, extents=(2.0, 2.0), with_sphere_light=False):
+    """Grey floor lit by a small ceiling PANEL (rectangle emitter)."""
+    s = SceneDescription()
+    s.set_camera(
+        PerspectiveCameraDescription(
+            origin=(0.0, 3.0, -8.0), look_at=(0.0, 0.0, 0.0), aspect=1.0
+        )
+    )
+    light = s.add_material(
+        MaterialDescription(albedo=(0, 0, 0), emissive=(emission,) * 3)
+    )
+    grey = s.add_material(MaterialDescription(albedo=(0.6, 0.6, 0.6)))
+    s.add_plane(
+        PlaneDescription(
+            normal=(0, 1, 0), point=(0, 0, 0), extents=(40, 40, 0), material=grey
+        )
+    )
+    s.add_plane(
+        PlaneDescription(
+            normal=(0, -1, 0), point=(0, 6, 0),
+            extents=(extents[0], extents[1], 0), material=light,
+        )
+    )
+    if with_sphere_light:
+        s.add_sphere(
+            SphereDescription(center=(3.0, 4.0, 2.0), radius=0.5, material=light)
+        )
+    return s
+
+
+class TestPlaneLights:
+    """Round-4 extension: rectangle planes are light-sampled too (area
+    sampling + t^2/(A cos) Jacobian, MIS-combined). Previously plane-lit
+    scenes got NO variance reduction from nee mode."""
+
+    REGION = np.s_[16:30, 8:24]  # directly lit floor
+
+    def test_panel_variance_reduction(self):
+        scene = compile_scene(_panel_scene())
+
+        def noise(mode):
+            a = _render(scene, mode, spp=16, seed=11, max_depth=8)
+            b = _render(scene, mode, spp=16, seed=23, max_depth=8)
+            return np.mean((a[self.REGION] - b[self.REGION]) ** 2)
+
+        n_path = noise("path")
+        n_nee = noise("nee")
+        # Measured ~5700x at these settings; assert a conservative 10x.
+        assert n_nee < n_path / 10, f"path {n_path:.5f} vs nee {n_nee:.5f}"
+
+    def test_panel_matches_path_mode_mean(self):
+        scene = compile_scene(_panel_scene())
+        nee = _render(scene, "nee", spp=128, seed=2, max_depth=8)
+        path = _render(scene, "path", spp=2048, seed=7, max_depth=8)
+        a = nee[self.REGION].mean()
+        b = path[self.REGION].mean()
+        # Same tolerance band as the sphere-light test: the path mode
+        # carries the quirk-pdf bias (~5-10% here), nee the true pdf.
+        assert abs(a - b) / max(b, 1e-3) < 0.15, f"nee {a} vs path {b}"
+
+    def test_mixed_sphere_and_panel_lights(self):
+        # Both emitter kinds in one scene: selection, MIS, and the
+        # emission-pickup weights must compose (every weight pair sums to
+        # 1 per direction). Mean agreement with path mode within the
+        # quirk band.
+        scene = compile_scene(_panel_scene(with_sphere_light=True))
+        nee = _render(scene, "nee", spp=128, seed=4, max_depth=8)
+        path = _render(scene, "path", spp=2048, seed=9, max_depth=8)
+        a = nee[self.REGION].mean()
+        b = path[self.REGION].mean()
+        assert abs(a - b) / max(b, 1e-3) < 0.15, f"nee {a} vs path {b}"
+
+    def test_huge_panel_degrades_to_bsdf_weighting(self):
+        # A wall-sized panel: area sampling alone is terrible (tiny pdf),
+        # but MIS hands those directions to BSDF sampling -- the render
+        # must stay finite and match path mode (the furnace tests cover
+        # the extreme case; this pins a mid-size one).
+        scene = compile_scene(_panel_scene(emission=4.0, extents=(30.0, 30.0)))
+        nee = _render(scene, "nee", spp=64, seed=6, max_depth=8)
+        path = _render(scene, "path", spp=1024, seed=13, max_depth=8)
+        assert np.isfinite(nee).all()
+        a = nee[self.REGION].mean()
+        b = path[self.REGION].mean()
+        assert abs(a - b) / max(b, 1e-3) < 0.15, f"nee {a} vs path {b}"

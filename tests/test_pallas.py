@@ -287,3 +287,35 @@ class TestMegakernelNEE:
         for c in range(3):
             sigma = max(x[..., c].std(), 1e-3) / np.sqrt(W * H * SPP)
             assert abs(p[..., c].mean() - x[..., c].mean()) < 8 * sigma + 5e-3
+
+
+class TestMegakernelPlaneLights:
+    def test_mixed_lights_parity_with_xla(self):
+        # Round-4 plane-emitter NEE: the kernel's kind-aware light table
+        # (sphere cone + plane area branches, unified prim index for the
+        # MIS pickup weights) must match the XLA path bitwise-close on
+        # shared sobol draws -- a scene with BOTH emitter kinds exercises
+        # selection, both sample branches, and both pickup weights.
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_nee import _panel_scene
+
+        from cornelis_tpu.ops.pallas_integrator import (
+            host_scene_from_description,
+            register_host_scene,
+            render_chunk_pallas,
+        )
+
+        descr = _panel_scene(with_sphere_light=True)
+        scene = compile_scene(descr)
+        register_host_scene(scene, host_scene_from_description(descr))
+        key = make_key(3)
+        kw = dict(width=24, height=24, spp_chunk=16, spp_total=16,
+                  max_depth=6, sampler="sobol", mode="nee")
+        p = np.asarray(
+            render_chunk_pallas(scene, key, np.uint32(0), interpret=True, **kw)
+        )
+        x = np.asarray(render_chunk(scene, key, jnp.uint32(0), **kw))
+        np.testing.assert_allclose(p, x, rtol=1e-4, atol=1e-4)
