@@ -409,35 +409,43 @@ def _light_table(scene: HostScene):
     """Host-side power-proportional light-selection table over ALL baked
     area emitters -- spheres first, then rectangle planes, index-aligned
     with _intersect_const's unified prim index -- or None when nothing
-    emits. Rows (prob, cumulative, kind, (g0..g7), (r, g, b) L_e): kind 0
-    = sphere with g = (cx, cy, cz, radius, 0...), kind 1 = plane with
-    g = (nx, ny, nz, px, py, pz, width, height). Weights are
-    luminance x area (sphere 4 pi r^2, plane w x h), matching
+    emits. Rows (prob, cumulative, kind, prim, (g0..g7), (r, g, b) L_e):
+    kind 0 = sphere with g = (cx, cy, cz, radius, 0...), kind 1 = plane
+    with g = (nx, ny, nz, px, py, pz, width, height); `prim` is the
+    unified _intersect_const index (sphere i -> i, plane j -> S + j) the
+    MIS pickup weights compare against. Zero-power rows are DROPPED --
+    they can never be selected and their pickup density is 0, but kept in
+    the table they cost unrolled per-bounce VPU work (measured ~10% NEE
+    throughput on Cornell, whose table is 1 emitter out of 9 prims).
+    Weights are luminance x area (sphere 4 pi r^2, plane w x h), matching
     integrator._light_probs. Pure Python floats -> kernel literals."""
     import math
 
     rows = []
     total = 0.0
-    for cx, cy, cz, rad, mid in scene.spheres:
+    n_sph = len(scene.spheres)
+    for i, (cx, cy, cz, rad, mid) in enumerate(scene.spheres):
         le = scene.materials[mid][1]
         lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
         power = lum * 4.0 * math.pi * rad * rad
-        rows.append([power, 0, (cx, cy, cz, rad, 0.0, 0.0, 0.0, 0.0), le])
+        rows.append([power, 0, i, (cx, cy, cz, rad, 0.0, 0.0, 0.0, 0.0), le])
         total += power
-    for nx, ny, nz, px, py, pz, w, h, mid in scene.planes:
+    for j, (nx, ny, nz, px, py, pz, w, h, mid) in enumerate(scene.planes):
         le = scene.materials[mid][1]
         lum = 0.2126 * le[0] + 0.7152 * le[1] + 0.0722 * le[2]
         power = lum * w * h
-        rows.append([power, 1, (nx, ny, nz, px, py, pz, w, h), le])
+        rows.append([power, 1, n_sph + j, (nx, ny, nz, px, py, pz, w, h), le])
         total += power
     if total <= 0.0:
         return None
     out = []
     cum = 0.0
-    for power, kind, geom, le in rows:
+    for power, kind, prim, geom, le in rows:
+        if power <= 0.0:
+            continue
         prob = power / total
         cum += prob
-        out.append((prob, cum, kind, geom, le))
+        out.append((prob, cum, kind, prim, geom, le))
     return tuple(out)
 
 
@@ -542,7 +550,7 @@ def _make_kernel(
                 # prev_pdf / (prev_pdf + p_nee(hit)). Weight 1 at depth 0
                 # and for SDF emitters (not light-sampled: p_nee = 0).
                 p_light = jnp.zeros_like(t)
-                for li, (pr, _, lkind, g, _le) in enumerate(lights):
+                for pr, _, lkind, lprim, g, _le in lights:
                     if lkind == 0:
                         lcx, lcy, lcz, lrad = g[0], g[1], g[2], g[3]
                         d2 = (
@@ -571,7 +579,7 @@ def _make_kernel(
                         cand = (
                             pr * t * t / (area * jnp.maximum(cos_l, 1e-6))
                         )
-                    p_light = jnp.where(sph_idx == li, cand, p_light)
+                    p_light = jnp.where(sph_idx == lprim, cand, p_light)
                 w_emis = jnp.where(
                     depth > 0,
                     prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
@@ -610,8 +618,8 @@ def _make_kernel(
                 u_sel, ul1 = draw_pair(stream, 2)
                 ul2, _spare = draw_pair(stream, 3)
                 # Select an emitter by the cumulative table (literals):
-                # rows (prob, cum, kind, g0..g7, le) -- kind 0 sphere
-                # g = (cx, cy, cz, rad, ...), kind 1 plane
+                # rows (prob, cum, kind, prim, g0..g7, le) -- kind 0
+                # sphere g = (cx, cy, cz, rad, ...), kind 1 plane
                 # g = (nx, ny, nz, px, py, pz, w, h).
                 def lit_select(field):
                     acc = jnp.full_like(t, field(lights[0]))
@@ -619,12 +627,12 @@ def _make_kernel(
                         acc = jnp.where(u_sel > prev[1], field(row), acc)
                     return acc
 
-                lg = [lit_select(lambda r, i=i: r[3][i]) for i in range(8)]
+                lg = [lit_select(lambda r, i=i: r[4][i]) for i in range(8)]
                 lpr = lit_select(lambda r: r[0])
                 lkind = lit_select(lambda r: float(r[2]))
-                ler = lit_select(lambda r: r[4][0])
-                leg = lit_select(lambda r: r[4][1])
-                leb = lit_select(lambda r: r[4][2])
+                ler = lit_select(lambda r: r[5][0])
+                leg = lit_select(lambda r: r[5][1])
+                leb = lit_select(lambda r: r[5][2])
                 is_pln = lkind > 0.5
 
                 # --- sphere branch: uniform cone -----------------------
@@ -684,7 +692,9 @@ def _make_kernel(
                 pdf_l = jnp.maximum(
                     jnp.where(is_pln, pdf_p, pdf_s), 1e-12
                 )
-                valid_l = jnp.where(is_pln, valid_p, valid_s)
+                # Boolean select via logic ops: Mosaic cannot legalize
+                # jnp.where on i1 vectors (i8->i1 trunci unsupported).
+                valid_l = (is_pln & valid_p) | (~is_pln & valid_s)
                 cos_surf = dot(wi_l, n)
                 shadow_o = p + wi_l * BOUNCE_EPSILON
                 t_occ, _p2, _n2, _m2, occ_hit, _s2 = _intersect_const(
