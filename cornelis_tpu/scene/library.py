@@ -105,6 +105,37 @@ def cornell_box() -> SceneDescription:
     return scene
 
 
+def cornell_panel() -> SceneDescription:
+    """The CLASSIC Cornell box: a rectangular ceiling AREA LIGHT instead of
+    the reference's ceiling-tangent light sphere (src/cornelis.cpp:63-65
+    approximates the panel with a sphere). Same geometry, materials, and
+    camera as `cornell_box`; the emitter is a 185x185 panel dropped just
+    below the ceiling, emission scaled so total emitted power matches the
+    reference's sphere light (L x area: 15 x 4 pi 60^2 = L_p x 185^2 ->
+    L_p ~= 19.85). Showcases the round-4 plane-emitter NEE: rectangle
+    lights are cone^H^H area-sampled with MIS, so `--integrator nee`
+    converges as fast here as the sphere-lit original."""
+    scene = cornell_box()
+    # Drop the sphere light (first sphere) and replace the light material's
+    # power with the matched-panel value.
+    scene.spheres = [s for s in scene.spheres if s.material != 5]
+    import math
+
+    side = 555.0
+    panel = 185.0
+    le = 15.0 * 4.0 * math.pi * 60.0**2 / panel**2
+    scene.materials[5].emissive = (le, le, le)
+    scene.add_plane(
+        PlaneDescription(
+            normal=(0.0, -1.0, 0.0),
+            point=(0.0, side - 1.0, 0.0),
+            extents=(panel, panel, 0.0),
+            material=5,
+        )
+    )
+    return scene
+
+
 def sphere_on_plane() -> SceneDescription:
     """Diffuse sphere + ground plane under an emissive dome-ish light sphere
     (BASELINE.json config 1: first-milestone scene)."""
@@ -255,6 +286,7 @@ def sphere_grid(n: int = 64) -> SceneDescription:
 
 BUILTIN_SCENES = {
     "cornell": cornell_box,
+    "cornell-panel": cornell_panel,
     "sphere-plane": sphere_on_plane,
     "sdf-gallery": sdf_gallery,
     "sphere-grid": sphere_grid,

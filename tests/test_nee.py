@@ -475,3 +475,31 @@ class TestPlaneLights:
         a = nee[self.REGION].mean()
         b = path[self.REGION].mean()
         assert abs(a - b) / max(b, 1e-3) < 0.15, f"nee {a} vs path {b}"
+
+
+class TestCornellPanel:
+    def test_panel_variant_matches_sphere_lit_brightness(self):
+        # cornell-panel swaps the reference's ceiling-tangent light sphere
+        # for the CLASSIC rectangular panel with total emitted power
+        # matched (L x area) -- the room brightness must land near the
+        # sphere-lit original (not exactly: the emitter geometry changes
+        # the transport), and NEE must light-sample the panel efficiently.
+        from cornelis_tpu.scene.library import cornell_panel
+
+        panel = _render(cornell_panel(), "nee", W=48, H=48, spp=32,
+                        max_depth=12, seed=5)
+        sphere = _render(cornell_box(), "nee", W=48, H=48, spp=32,
+                         max_depth=12, seed=5)
+        assert np.isfinite(panel).all()
+        a, b = panel.mean(), sphere.mean()
+        assert abs(a - b) / b < 0.3, f"panel {a} vs sphere-lit {b}"
+
+    def test_panel_variant_nee_noise_beats_path(self):
+        from cornelis_tpu.scene.library import cornell_panel
+
+        sc = compile_scene(cornell_panel())
+        def noise(mode):
+            a = _render(sc, mode, W=32, H=32, spp=12, seed=11, max_depth=8)
+            b = _render(sc, mode, W=32, H=32, spp=12, seed=23, max_depth=8)
+            return np.mean((a - b) ** 2)
+        assert noise("nee") < noise("path") / 4
