@@ -153,10 +153,23 @@ class _CompletionTracker:
             with self._lock:
                 while not self._pending:
                     self._lock.wait()
-                item = self._pending.pop(0)
-            if item is None:  # close() sentinel
-                return
-            num_samples, probe = item
+                if self._pending[0] is None:  # close() sentinel
+                    return
+                # COALESCE the backlog: the device stream is FIFO on this
+                # transport (PERF.md section 1 point 3), so the NEWEST
+                # pending probe's completion implies every earlier chunk
+                # completed too -- fetch one probe, credit the whole
+                # batch. Without this, each probe pays a full tunnel
+                # round-trip (measured ~0.4-1.5 s regardless of payload)
+                # and a 64-chunk render drains probes for ~100 s while the
+                # device finished in ~4 (round-4 gallery-render regression,
+                # fixed here). When chunks complete slower than the probe
+                # round-trip the batch size is 1 and per-chunk granularity
+                # is preserved.
+                batch = []
+                while self._pending and self._pending[0] is not None:
+                    batch.append(self._pending.pop(0))
+            probe = batch[-1][1]
             try:
                 float(np.asarray(probe))  # blocks until the device is done
             except Exception as exc:  # pragma: no cover - device failure
@@ -164,8 +177,9 @@ class _CompletionTracker:
                     self._error = exc
                     self._lock.notify_all()
                 return
+            num_samples = sum(n for n, _ in batch)
             with self._lock:
-                self._chunks += 1
+                self._chunks += len(batch)
                 self._samples += num_samples
                 self._times.append(time.perf_counter())
                 self._sample_counts.append(num_samples)
