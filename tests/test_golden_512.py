@@ -80,10 +80,15 @@ class TestMatchedResolutionGolden:
         diff = np.abs(ours_m - ref_m).max(axis=-1)
         # Measured max clean-region diff 0.0725 -- a KNOWN one-sided
         # asymmetry: the reference binary loses energy to unguarded float32
-        # self-intersections (worst on the ceiling near the tangent light);
-        # a float64 transcription of its algorithm agrees with OUR render
-        # to ~0.002 (GOLDEN_512.md / tools/ref_oracle_trace.py; COMPAT R10).
-        assert diff[clean].max() < 0.10, f"max clean diff {diff[clean].max():.4f}"
+        # self-intersections (worst on the ceiling near the tangent light).
+        # Round 4 swept the f64 oracle over ALL 34 regions with diff > 0.03
+        # (tests/golden/arbitration_sweep_r4.json): OURS is the closer
+        # realization of the reference's own algorithm in 34/34, agreeing
+        # with the oracle to <=0.015 everywhere except two gold-sphere
+        # glossy regions (0.050/0.058, where the oracle's own MC variance
+        # is largest). Bound = measured 0.0725 worst diff + ~15% headroom
+        # (tightened from the round-3 0.10 per the sweep).
+        assert diff[clean].max() < 0.085, f"max clean diff {diff[clean].max():.4f}"
 
         signed = (ours_m - ref_m)[clean]
         bias = signed.mean(axis=0)
