@@ -155,26 +155,53 @@ def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
         scene, target, fields=("mat_albedo", "mat_roughness"), **kw
     )
     inv.step()  # compile + execute once (step() blocks on the loss value)
-    steps = 4
+
+    # CHAINED steps (state carried on device, ONE barrier at the end):
+    # the true sustainable training throughput. inv.step() fetches the
+    # loss scalar every step, which on this tunnel costs an erratic
+    # 0.1-1.5 s round-trip -- measuring THAT times the tunnel, not the
+    # backward pass (it burned round-3 #4's first numbers: the 'bwd/fwd
+    # ratio' wandered 2.4-32x between runs).
+    steps = 8
+    dt_step = float("inf")
+    state, root = inv.state, inv._root_key
+    for _ in range(3):  # min-of-3: tunnel variance
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(steps):
+            state, loss = inv._train_step(state, root)
+        device_barrier(loss)
+        dt_step = min(dt_step, (time.perf_counter() - t0) / steps)
+    # Interactive-loop rate (loss fetched each step) for comparison.
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(4):
         inv.step()
-    dt_step = (time.perf_counter() - t0) / steps
+    dt_step_sync = (time.perf_counter() - t0) / 4
 
     # The identical loss (2 renders, same unrolled program) without grad.
+    # Losses are CHAINED and barriered once: a per-iteration barrier would
+    # time tunnel round-trips (erratic 20 ms - 1.5 s), not compute, and
+    # the bwd/fwd ratio wandered 2.4-7.7x between runs because of it.
     loss_fn = jax.jit(make_loss(target=target, base_scene=scene, **kw))
     params = inv.state.params
     key = jax.random.key(7)
     device_barrier(loss_fn(params, key))
-    t0 = time.perf_counter()
-    for i in range(steps):
-        device_barrier(loss_fn(params, jax.random.fold_in(key, i)))
-    dt_fwd = (time.perf_counter() - t0) / steps
+    fwd_steps = 8
+    dt_fwd = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(fwd_steps):
+            l = loss_fn(params, jax.random.fold_in(key, i))
+            acc = l if acc is None else acc + l
+        device_barrier(acc)
+        dt_fwd = min(dt_fwd, (time.perf_counter() - t0) / fwd_steps)
 
     rays_per_step = width * height * spp * 2  # dual-buffer: 2 renders/step
     return {
         "diff_shape": f"{width}x{height}x{spp}spp_d{max_depth}",
         "diff_steps_per_s": round(1.0 / dt_step, 3),
+        "diff_steps_per_s_sync": round(1.0 / dt_step_sync, 3),
         "diff_fwd_bwd_mrays": round(rays_per_step / dt_step / 1e6, 3),
         "diff_fwd_mrays": round(rays_per_step / dt_fwd / 1e6, 3),
         "diff_bwd_over_fwd": round(dt_step / dt_fwd - 1.0, 2),
