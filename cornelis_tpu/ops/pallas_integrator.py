@@ -343,13 +343,25 @@ def _const_camera(cam: tuple) -> Camera:
     return Camera(eye=mk(eye), corner=mk(corner), u=mk(u), v=mk(v))
 
 
-def _intersect_const(scene: HostScene, o: Vec3, d: Vec3):
+def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
     """Closest hit against the baked scene tables: fully unrolled object
     loop (spheres then planes, strict best_t > t update -- the semantics of
     geometry._update_closest / src/Render.cpp:110-150). Also tracks the
     UNIFIED emitter-candidate index of the closest hit (sphere i -> i,
     plane j -> S + j, SDFs/miss -> -1), aligned with _light_table row
-    order -- the NEE mode's MIS weights key off it."""
+    order -- the NEE mode's MIS weights key off it.
+
+    `active` is accepted-and-ignored: a round-4 experiment guarded
+    per-cluster candidate scans with block-uniform `lax.cond`s keyed on
+    jnp.any(cluster possible & active). It compiled (after f32-encoding
+    the carried state -- Mosaic cannot legalize scf.if results holding
+    i1/i32 vectors) and the conds DO skip work, but each cross-lane
+    jnp.any costs ~7 us on a (32, 128) block vs ~30 us for a whole
+    block-iteration of real work: measured 18.3 vs 21.7 Mrays/s on
+    sphere_grid(512) (16% LOSS) and neutral at 66 objects. The flat scan
+    stays; the profitable piece of that experiment -- tile-major ray
+    order so coherent blocks die together -- shipped in _build_chunk_fn
+    (PERF.md section 2)."""
     from ..geometry import min_hit_t
 
     shape = o.x.shape
@@ -538,7 +550,9 @@ def _make_kernel(
             # to legalize i1 vectors in scf.while carries. `prev_pdf`
             # carries the previous vertex's true direction density (MIS).
             o, d, tput, rad, active_f, prev_pdf, depth = carry
-            t, p, n, mid, hit, sph_idx = _intersect_const(scene, o, d)
+            t, p, n, mid, hit, sph_idx = _intersect_const(
+                scene, o, d, active=active_f > 0.0
+            )
             active = (active_f > 0.0) & hit
 
             params = _gather_materials_const(scene.materials, mid)
@@ -697,16 +711,15 @@ def _make_kernel(
                 valid_l = (is_pln & valid_p) | (~is_pln & valid_s)
                 cos_surf = dot(wi_l, n)
                 shadow_o = p + wi_l * BOUNCE_EPSILON
+                pre_mask = active & valid_l & (cos_surf > 0.0)
                 t_occ, _p2, _n2, _m2, occ_hit, _s2 = _intersect_const(
-                    scene, shadow_o, wi_l
+                    scene, shadow_o, wi_l, active=pre_mask
                 )
                 visible = (~occ_hit) | (t_occ >= t_light * (1.0 - 1e-3))
                 f_l = layered_eval(wi_l, w_out, n, params)
                 p_bsdf_l = layered_pdf_true(wi_l, w_out, n, params)
                 mis_l = pdf_l / jnp.maximum(pdf_l + p_bsdf_l, 1e-12)
-                nee_mask = (
-                    active & valid_l & visible & (cos_surf > 0.0)
-                )
+                nee_mask = pre_mask & visible
                 nee_scale = jnp.where(nee_mask, mis_l * cos_surf / pdf_l, 0.0)
                 # Indirect clamp (integrator.NEE_CLAMP_FACTOR,
                 # depth-aware).
@@ -851,20 +864,43 @@ def _build_chunk_fn(
         sampler, index_bits, mode, nee_clamp,
     )
 
+    # Tile-major pixel order: a block's 4096 rays cover a COMPACT image
+    # tile instead of a full-width row strip (the flat order put 512
+    # consecutive scanline pixels in each block). Coherent blocks die
+    # together (better per-block early exit) and see few sphere clusters
+    # (the block-uniform cull, _intersect_const). Pure relabeling of ray
+    # ids: keys depend only on (pixel, sample), so the image is
+    # UNCHANGED; the per-pixel sums are inverse-permuted on the way out.
+    # The per-ray pixel ids are PRECOMPUTED HOST-SIDE and baked as an
+    # input constant: a traced perm[idx] gather at dispatch measured a
+    # ~2.5x whole-kernel regression (TPU gathers are slow); the pattern
+    # only depends on the chunk shape, never on the offset.
+    from ..math.tiles import tile_major_order
+
+    idx_h = np.arange(n_pad, dtype=np.uint32)
+    valid_h = idx_h < n
+    flat_px_h = np.where(valid_h, idx_h // np.uint32(spp_chunk), 0).astype(np.uint32)
+    if width % 16 == 0 and height % 16 == 0:
+        perm = np.asarray(tile_major_order(width, height, 16, 16)).astype(np.uint32)
+        px_h = perm[flat_px_h]
+        _inv = np.argsort(perm).astype(np.int32)
+    else:
+        px_h = flat_px_h
+        _inv = None
+    px_const = jnp.asarray(px_h.reshape(num_blocks * rows, LANES))
+
     @jax.jit
     def chunk_fn(root_key, sample_offset):
-        # Same ray-id layout as the historical eager build: ray k of the
-        # chunk is (pixel k // spp, sample offset + k % spp); the pad tail
-        # renders pixel 0 / sample 0 and is sliced away below.
+        # Ray k of the chunk is (pixel perm[k // spp], offset + k % spp);
+        # the pad tail renders pixel 0 / sample 0, sliced away below.
         idx = jax.lax.iota(jnp.uint32, n_pad)
         valid = idx < n
-        px = jnp.where(valid, idx // np.uint32(spp_chunk), np.uint32(0))
+        px = px_const
         si = jnp.where(
             valid,
             jnp.asarray(sample_offset, jnp.uint32) + idx % np.uint32(spp_chunk),
             np.uint32(0),
         )
-        px = px.reshape(num_blocks * rows, LANES)
         si = si.reshape(num_blocks * rows, LANES)
 
         # SMEM row: [k0, k1, hash32(sobol_root_bits)] -- the third word
@@ -882,7 +918,10 @@ def _build_chunk_fn(
         r, g, b = renderer(key2, px, si)
 
         def pixel_sum(c: Array) -> Array:
-            return c.reshape(-1)[:n].reshape(num_px, spp_chunk).sum(axis=1)
+            sums = c.reshape(-1)[:n].reshape(num_px, spp_chunk).sum(axis=1)
+            if _inv is not None:
+                sums = sums[jnp.asarray(_inv)]
+            return sums
 
         img = jnp.stack([pixel_sum(r), pixel_sum(g), pixel_sum(b)], axis=-1)
         return img.reshape(height, width, 3)
