@@ -68,7 +68,9 @@ LANES = 128
 # Mrays/s -- 32 rows balances VPU register amortization against per-block
 # early-exit granularity. Re-checked post self-intersection guard with an
 # interleaved A/B (round 3): 32 vs 64 within noise (min 139.9 vs 134.2,
-# medians equal); 32 stands.
+# medians equal); 32 stands. Re-swept round 4 after the tile-major ray
+# order (best-of-3): 8 -> 169.5, 16 -> 195.5, 32 -> 195.7, 64 -> 185.2;
+# 32 still stands.
 DEFAULT_ROWS = 32
 
 
