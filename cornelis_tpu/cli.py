@@ -332,6 +332,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         import json
 
         if jax.process_index() == 0:
+            n_sched = len(result.backend_schedule)
+            n_target = result.progress.chunks_target
+            if n_sched != n_target:
+                from .utils.logging import logger
+
+                logger.warning(
+                    "Saving a TRUNCATED schedule (%d of %d chunks -- the "
+                    "render was aborted or time-budget-limited); "
+                    "--replay-schedule needs a schedule from a COMPLETE "
+                    "run of the same options and will reject this one.",
+                    n_sched,
+                    n_target,
+                )
             with open(args.save_schedule, "w") as f:
                 json.dump(list(result.backend_schedule), f)
 

@@ -414,13 +414,14 @@ def _bounce(
 
     mode="path" replicates the reference estimator exactly (emission at
     every hit, the quirky averaged layered pdf). mode="nee" is the
-    corrected-estimator extension: next-event estimation toward emissive
-    spheres (cone sampling + shadow ray), sphere emission counted only at
-    camera hits (depth 0; plane/SDF emitters stay path-sampled), and the
-    continuation weight divides by the sampler's TRUE mixture density
-    (layered_pdf_true) instead of the reference's half-weighted quirk --
-    unbiased and typically an order of magnitude lower variance for small
-    lights. Both strategies are MIS-combined with the balance heuristic:
+    corrected-estimator extension: next-event estimation toward a
+    power-selected emitter -- cone-sampled spheres or area-sampled
+    rectangle planes (round-4 extension; SDF emitters stay path-sampled
+    with MIS weight 1) -- plus a shadow ray, with the continuation weight
+    divided by the sampler's TRUE mixture density (layered_pdf_true)
+    instead of the reference's half-weighted quirk -- unbiased apart from
+    the bounded firefly clamp, typically orders of magnitude lower
+    variance for small lights. Both strategies are MIS-combined with the balance heuristic:
     BSDF-sampled emitter hits carry the previous vertex's true direction
     density (state.prev_pdf) and are weighted against the NEE density of
     the same hit; NEE samples are weighted against the BSDF density of the

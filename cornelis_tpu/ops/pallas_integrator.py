@@ -157,10 +157,15 @@ def mark_process_warm() -> None:
 
 
 def _write_warmth_stamp() -> None:
-    path = _warmth_stamp_path()
-    if path is None:
-        return
+    # The WHOLE body is guarded: this also runs as an atexit handler, where
+    # _warmth_stamp_path()'s jax.local_devices()/jax.process_index() can
+    # raise after the JAX runtime was torn down (e.g. a multi-process
+    # child that called jax.distributed.shutdown()) -- an unhandled
+    # exception here would print an atexit traceback at every such exit.
     try:
+        path = _warmth_stamp_path()
+        if path is None:
+            return
         import json
         import os
         import time
@@ -169,7 +174,7 @@ def _write_warmth_stamp() -> None:
         with open(tmp, "w") as f:
             json.dump({"ts": time.time()}, f)
         os.replace(tmp, path)  # atomic vs concurrent writers
-    except OSError:  # pragma: no cover - tmp dir unwritable
+    except Exception:  # pragma: no cover - teardown / unwritable tmp
         pass
 
 
@@ -645,72 +650,89 @@ def _make_kernel(
 
                 lg = [lit_select(lambda r, i=i: r[4][i]) for i in range(8)]
                 lpr = lit_select(lambda r: r[0])
-                lkind = lit_select(lambda r: float(r[2]))
                 ler = lit_select(lambda r: r[5][0])
                 leg = lit_select(lambda r: r[5][1])
                 leb = lit_select(lambda r: r[5][2])
-                is_pln = lkind > 0.5
+                # The table's kinds are known at kernel-build time: emit
+                # each sampling branch only when a row of that kind
+                # exists, and skip the per-lane kind select entirely for
+                # single-kind tables (is_pln a traced predicate inside the
+                # Mosaic kernel is NOT reliably DCE'd -- a sphere-only
+                # Cornell would otherwise pay the whole dead plane branch
+                # per bounce).
+                has_sph = any(r[2] == 0 for r in lights)
+                has_pln = any(r[2] == 1 for r in lights)
 
-                # --- sphere branch: uniform cone -----------------------
-                lcx, lcy, lcz, lrad = lg[0], lg[1], lg[2], lg[3]
-                to_c = Vec3(lcx - p.x, lcy - p.y, lcz - p.z)
-                d2 = to_c.x**2 + to_c.y**2 + to_c.z**2
-                dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
-                outside = dist > lrad * 1.0001
-                sin2max = jnp.clip(
-                    lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
-                )
-                cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
-                one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
-                cos_t = 1.0 - ul1 * one_minus
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-                phi = 2.0 * PI * ul2
-                laxis = Vec3(to_c.x / dist, to_c.y / dist, to_c.z / dist)
-                lbasis = construct_basis(laxis)
-                wi_s = (
-                    lbasis.t * (sin_t * jnp.cos(phi))
-                    + lbasis.b * (sin_t * jnp.sin(phi))
-                    + lbasis.n * cos_t
-                )
-                t_s = dist * cos_t - jnp.sqrt(
-                    jnp.maximum(
-                        lrad * lrad - d2 * (1.0 - cos_t * cos_t), 0.0
+                if has_sph:
+                    # --- sphere branch: uniform cone -------------------
+                    lcx, lcy, lcz, lrad = lg[0], lg[1], lg[2], lg[3]
+                    to_c = Vec3(lcx - p.x, lcy - p.y, lcz - p.z)
+                    d2 = to_c.x**2 + to_c.y**2 + to_c.z**2
+                    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                    outside = dist > lrad * 1.0001
+                    sin2max = jnp.clip(
+                        lrad * lrad / jnp.maximum(d2, 1e-12), 0.0, 1.0
                     )
-                )
-                pdf_s = lpr / (2.0 * PI * one_minus)
-                valid_s = outside & (t_s > 0.0)
+                    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+                    one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
+                    cos_t = 1.0 - ul1 * one_minus
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                    phi = 2.0 * PI * ul2
+                    laxis = Vec3(to_c.x / dist, to_c.y / dist, to_c.z / dist)
+                    lbasis = construct_basis(laxis)
+                    wi_s = (
+                        lbasis.t * (sin_t * jnp.cos(phi))
+                        + lbasis.b * (sin_t * jnp.sin(phi))
+                        + lbasis.n * cos_t
+                    )
+                    t_s = dist * cos_t - jnp.sqrt(
+                        jnp.maximum(
+                            lrad * lrad - d2 * (1.0 - cos_t * cos_t), 0.0
+                        )
+                    )
+                    pdf_s = lpr / (2.0 * PI * one_minus)
+                    valid_s = outside & (t_s > 0.0)
 
-                # --- plane branch: uniform area + t^2/(A cos) Jacobian --
-                lnrm = Vec3(lg[0], lg[1], lg[2])
-                lanchor = Vec3(lg[3], lg[4], lg[5])
-                lw, lh = lg[6], lg[7]
-                pl_basis = construct_basis(lnrm)
-                q = (
-                    lanchor
-                    + pl_basis.t * ((ul1 - 0.5) * lw)
-                    + pl_basis.b * ((ul2 - 0.5) * lh)
-                )
-                to_q = Vec3(q.x - p.x, q.y - p.y, q.z - p.z)
-                d2q = to_q.x**2 + to_q.y**2 + to_q.z**2
-                dq = jnp.sqrt(jnp.maximum(d2q, 1e-12))
-                wi_p = Vec3(to_q.x / dq, to_q.y / dq, to_q.z / dq)
-                cos_lp = jnp.abs(dot(wi_p, lnrm))  # two-sided emitter
-                area = jnp.maximum(lw * lh, 1e-12)
-                pdf_p = lpr * d2q / (area * jnp.maximum(cos_lp, 1e-6))
-                valid_p = (cos_lp > 1e-6) & (dq > 1e-6)
+                if has_pln:
+                    # --- plane branch: uniform area, t^2/(A cos) -------
+                    lnrm = Vec3(lg[0], lg[1], lg[2])
+                    lanchor = Vec3(lg[3], lg[4], lg[5])
+                    lw, lh = lg[6], lg[7]
+                    pl_basis = construct_basis(lnrm)
+                    q = (
+                        lanchor
+                        + pl_basis.t * ((ul1 - 0.5) * lw)
+                        + pl_basis.b * ((ul2 - 0.5) * lh)
+                    )
+                    to_q = Vec3(q.x - p.x, q.y - p.y, q.z - p.z)
+                    d2q = to_q.x**2 + to_q.y**2 + to_q.z**2
+                    dq = jnp.sqrt(jnp.maximum(d2q, 1e-12))
+                    wi_p = Vec3(to_q.x / dq, to_q.y / dq, to_q.z / dq)
+                    cos_lp = jnp.abs(dot(wi_p, lnrm))  # two-sided emitter
+                    area = jnp.maximum(lw * lh, 1e-12)
+                    pdf_p = lpr * d2q / (area * jnp.maximum(cos_lp, 1e-6))
+                    valid_p = (cos_lp > 1e-6) & (dq > 1e-6)
 
-                wi_l = Vec3(
-                    jnp.where(is_pln, wi_p.x, wi_s.x),
-                    jnp.where(is_pln, wi_p.y, wi_s.y),
-                    jnp.where(is_pln, wi_p.z, wi_s.z),
-                )
-                t_light = jnp.where(is_pln, dq, t_s)
-                pdf_l = jnp.maximum(
-                    jnp.where(is_pln, pdf_p, pdf_s), 1e-12
-                )
-                # Boolean select via logic ops: Mosaic cannot legalize
-                # jnp.where on i1 vectors (i8->i1 trunci unsupported).
-                valid_l = (is_pln & valid_p) | (~is_pln & valid_s)
+                if has_sph and has_pln:
+                    is_pln = lit_select(lambda r: float(r[2])) > 0.5
+                    wi_l = Vec3(
+                        jnp.where(is_pln, wi_p.x, wi_s.x),
+                        jnp.where(is_pln, wi_p.y, wi_s.y),
+                        jnp.where(is_pln, wi_p.z, wi_s.z),
+                    )
+                    t_light = jnp.where(is_pln, dq, t_s)
+                    pdf_l = jnp.maximum(
+                        jnp.where(is_pln, pdf_p, pdf_s), 1e-12
+                    )
+                    # Boolean select via logic ops: Mosaic cannot legalize
+                    # jnp.where on i1 vectors (i8->i1 trunci unsupported).
+                    valid_l = (is_pln & valid_p) | (~is_pln & valid_s)
+                elif has_pln:
+                    wi_l, t_light, valid_l = wi_p, dq, valid_p
+                    pdf_l = jnp.maximum(pdf_p, 1e-12)
+                else:
+                    wi_l, t_light, valid_l = wi_s, t_s, valid_s
+                    pdf_l = jnp.maximum(pdf_s, 1e-12)
                 cos_surf = dot(wi_l, n)
                 shadow_o = p + wi_l * BOUNCE_EPSILON
                 pre_mask = active & valid_l & (cos_surf > 0.0)

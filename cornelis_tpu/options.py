@@ -155,6 +155,12 @@ class RenderOptions:
                     "backend_schedule contains 'pallas' chunks but "
                     "backend='xla' forces the wavefront."
                 )
+            if self.backend == "pallas" and "xla" in self.backend_schedule:
+                raise ValueError(
+                    "backend_schedule contains 'xla' chunks but "
+                    "backend='pallas' forces the megakernel (replay a "
+                    "mixed schedule with backend='auto')."
+                )
 
 
     def resolved_spp_chunk(self) -> int:

@@ -180,3 +180,9 @@ class TestAutoSwitchover:
         # spread ~0.05, bound 3x that).
         assert abs(float(a.mean()) - float(b.mean())) < 0.15
         assert np.isfinite(a).all()
+
+    def test_forced_pallas_rejects_xla_schedule(self, fake_tpu):
+        with pytest.raises(ValueError, match="forces the megakernel"):
+            RenderOptions(
+                backend="pallas", backend_schedule=("xla",), **OPTS
+            ).validate()
