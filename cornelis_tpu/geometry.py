@@ -485,3 +485,85 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     )
 
     return best
+
+
+def occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max) -> "Array":
+    """ANY-hit-within-distance test for shadow rays: True where some
+    primitive lies along d closer than `t_max`.
+
+    Semantically identical to `intersect_scene(...).t < t_max` but skips
+    everything a shadow ray never reads -- position, normal, material,
+    prim index, and the 6-way running-best select chain per object. NEE
+    fires one of these per bounce per ray (the estimator's second full
+    intersection pass), so the savings land on the hot path of both
+    backends (the megakernel mirrors this as _occluded_const).
+    """
+    shape = o.x.shape
+    occ = jnp.zeros(shape, bool)
+    tmin = min_hit_t(o, d)
+
+    def sphere_step(occ, params):
+        cx, cy, cz, radius = params
+        t, _p, _n, valid = sphere_candidate(
+            o, d, Vec3(cx, cy, cz), radius, tmin=tmin
+        )
+        return occ | (valid & (t < t_max)), None
+
+    occ, _ = jax.lax.scan(
+        sphere_step,
+        occ,
+        (
+            scene.sphere_center.x,
+            scene.sphere_center.y,
+            scene.sphere_center.z,
+            scene.sphere_radius,
+        ),
+        unroll=True,
+    )
+
+    def plane_step(occ, params):
+        nx, ny, nz, px, py, pz, width, height = params
+        t, _p, _n, valid = plane_candidate(
+            o, d, Vec3(nx, ny, nz), Vec3(px, py, pz), width, height, tmin=tmin
+        )
+        return occ | (valid & (t < t_max)), None
+
+    occ, _ = jax.lax.scan(
+        plane_step,
+        occ,
+        (
+            scene.plane_normal.x,
+            scene.plane_normal.y,
+            scene.plane_normal.z,
+            scene.plane_point.x,
+            scene.plane_point.y,
+            scene.plane_point.z,
+            scene.plane_width,
+            scene.plane_height,
+        ),
+        unroll=True,
+    )
+
+    def sdf_step(occ, obj):
+        kind, cx, cy, cz, params, rot, scale = obj
+        t, _p, _n, valid = sdf_candidate(
+            o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
+        )
+        return occ | (valid & (t < t_max)), None
+
+    occ, _ = jax.lax.scan(
+        sdf_step,
+        occ,
+        (
+            scene.sdf_kind,
+            scene.sdf_center.x,
+            scene.sdf_center.y,
+            scene.sdf_center.z,
+            scene.sdf_params,
+            scene.sdf_rot,
+            scene.sdf_scale,
+        ),
+        unroll=True,
+    )
+
+    return occ

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import generate_rays
-from .geometry import KIND_PLANE, KIND_SPHERE, intersect_scene
+from .geometry import KIND_PLANE, KIND_SPHERE, intersect_scene, occluded
 from .materials import (
     emission,
     gather_materials,
@@ -495,8 +495,11 @@ def _bounce(
         )
         cos_l = dot(wi_l, hit.normal)
         shadow_origin = hit.position + wi_l * BOUNCE_EPSILON
-        occ = intersect_scene(scene, shadow_origin, wi_l)
-        visible = ~occ.hit | (occ.t >= t_light * (1.0 - 1e-3))
+        # ANY-hit test (geometry.occluded): the shadow ray only needs a
+        # boolean, not the closest hit's position/normal/material.
+        visible = ~occluded(
+            scene, shadow_origin, wi_l, t_light * (1.0 - 1e-3)
+        )
         f_l = layered_eval(wi_l, w_out, hit.normal, params)
         # Balance-heuristic weight vs the BSDF strategy for this direction.
         p_bsdf_l = layered_pdf_true(wi_l, w_out, hit.normal, params)

@@ -424,6 +424,32 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
     return best_t, bp, bn, bm, hit_any, bs
 
 
+def _occluded_const(scene: HostScene, o: Vec3, d: Vec3, t_max):
+    """ANY-hit-within-distance over the baked tables (geometry.occluded's
+    kernel twin): the NEE shadow ray needs only a boolean, so this skips
+    the position/normal/material/prim best-hit select chain per object."""
+    from ..geometry import min_hit_t
+
+    tmin = min_hit_t(o, d)
+    occ = jnp.zeros_like(o.x, dtype=bool)
+    for cx, cy, cz, rad, _mid in scene.spheres:
+        t, _p, _n, valid = sphere_candidate(
+            o, d, Vec3(cx, cy, cz), rad, tmin=tmin
+        )
+        occ = occ | (valid & (t < t_max))
+    for nx, ny, nz, px, py, pz, w, h, _mid in scene.planes:
+        t, _p, _n, valid = plane_candidate(
+            o, d, Vec3(nx, ny, nz), Vec3(px, py, pz), w, h, tmin=tmin
+        )
+        occ = occ | (valid & (t < t_max))
+    for kind, cx, cy, cz, params, _mid, rot, scale in scene.sdfs:
+        t, _p, _n, valid = sdf_candidate(
+            o, d, kind, Vec3(cx, cy, cz), params, rot=rot, scale=scale
+        )
+        occ = occ | (valid & (t < t_max))
+    return occ
+
+
 def _light_table(scene: HostScene):
     """Host-side power-proportional light-selection table over ALL baked
     area emitters -- spheres first, then rectangle planes, index-aligned
@@ -736,10 +762,9 @@ def _make_kernel(
                 cos_surf = dot(wi_l, n)
                 shadow_o = p + wi_l * BOUNCE_EPSILON
                 pre_mask = active & valid_l & (cos_surf > 0.0)
-                t_occ, _p2, _n2, _m2, occ_hit, _s2 = _intersect_const(
-                    scene, shadow_o, wi_l, active=pre_mask
+                visible = ~_occluded_const(
+                    scene, shadow_o, wi_l, t_light * (1.0 - 1e-3)
                 )
-                visible = (~occ_hit) | (t_occ >= t_light * (1.0 - 1e-3))
                 f_l = layered_eval(wi_l, w_out, n, params)
                 p_bsdf_l = layered_pdf_true(wi_l, w_out, n, params)
                 mis_l = pdf_l / jnp.maximum(pdf_l + p_bsdf_l, 1e-12)
