@@ -100,21 +100,30 @@ class PathState(NamedTuple):
 #     in the library scenes stays under ~5, so 16 x L_e truncates only the
 #     >1e3 x L_e pathological tail there.
 #   * DEPTH-AWARE growth: Russian-roulette survivors are reweighted by
-#     1/prob <= 1/RR_BASE per bounce past RR_YOUNG_DEPTH, so a deep path's
-#     throughput is legitimately ~(1/0.55)^(d-3) -- measured single-sample
-#     furnace radiance reaches ~135 x L_e by depth ~16. The ceiling grows
-#     by the same factor, which keeps RR's unbiasedness intact (a flat
-#     ceiling was measured to bias the furnace mean by 0.4%) while the
-#     grazing-quirk fireflies -- whose 1e4-1e5 blowup happens in a couple
-#     of SHALLOW bounces where the ceiling is still ~16 x L_e -- stay
-#     suppressed.
+#     1/prob per bounce past RR_YOUNG_DEPTH. prob = RR_BASE x
+#     clip(mag2(tput), lo, hi), so the instantaneous reweight ranges from
+#     1/(RR_BASE x RR_CLAMP_HI) ~= 1.84x up to 1/0.05 = 20x -- but large
+#     reweights only occur when throughput is already small, and in an
+#     enclosure the product settles near the fixed point |t| ~
+#     1/(RR_BASE |t|): measured single-sample furnace radiance reaches
+#     ~135 x L_e by depth ~16 and drifts ~1.01x/bounce thereafter. The
+#     ceiling grows by (1/RR_BASE)^(d-3), which tracks that measured
+#     envelope (a flat ceiling was measured to bias the furnace mean by
+#     0.4%) while the grazing-quirk fireflies -- whose 1e4-1e5 blowup
+#     happens in a couple of SHALLOW bounces where the ceiling is still
+#     ~16 x L_e -- stay suppressed.
 #
-# The furnace enclosures are untouched BY CONSTRUCTION (the ceiling
-# majorizes RR inflation; tests/test_nee.py asserts clamp-on == clamp-off
-# BITWISE), and the clamp-on vs clamp-off Cornell energy delta is pinned
-# in tests/test_nee.py. Path mode is NOT clamped -- it replicates the
-# reference estimator exactly, fireflies included (the reference's own
-# renders show the same speckles).
+# The furnace-invariance claim is EMPIRICAL over the tested depth range,
+# not a strict majorization: the ceiling's (1/RR_BASE)^excess growth does
+# not bound the worst-case 1/prob inflation, so at depths far beyond the
+# tested max_depth 64 a legitimate furnace path could in principle graze
+# the ceiling (~1.01x/bounce drift vs the ceiling's 1.818x/bounce growth
+# makes that take hundreds of bounces). tests/test_nee.py asserts
+# clamp-on == clamp-off BITWISE for the shipped depth range, and the
+# clamp-on vs clamp-off Cornell energy delta is pinned there. Path mode
+# is NOT clamped -- it replicates the reference estimator exactly,
+# fireflies included (the reference's own renders show the same
+# speckles).
 NEE_CLAMP_FACTOR = 16.0
 
 

@@ -122,6 +122,10 @@ def _warmth_stamp_path():
     dev = jax.local_devices()[0]
     if dev.platform == "cpu" and not stamp_dir:
         return None
+    # The uid is part of the fingerprint so users on a shared machine get
+    # disjoint stamp paths -- a foreign (or planted) stamp must not steer
+    # this user's backend scheduling (advisor finding, round 4).
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     fingerprint = "-".join(
         str(x)
         for x in (
@@ -129,6 +133,7 @@ def _warmth_stamp_path():
             getattr(dev, "device_kind", "?"),
             dev.id,
             jax.process_index(),
+            uid,
         )
     )
     digest = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
@@ -168,12 +173,22 @@ def _write_warmth_stamp() -> None:
             return
         import json
         import os
+        import tempfile
         import time
 
-        tmp = f"{path}.{os.getpid()}"
-        with open(tmp, "w") as f:
+        # O_EXCL temp creation (NamedTemporaryFile) instead of a
+        # predictable <path>.<pid> name: on a shared /tmp another user
+        # could pre-create or symlink the predictable name and a plain
+        # open(tmp, "w") would follow it (advisor finding, round 4).
+        fd = tempfile.NamedTemporaryFile(
+            mode="w",
+            dir=os.path.dirname(path) or ".",
+            prefix=os.path.basename(path) + ".",
+            delete=False,
+        )
+        with fd as f:
             json.dump({"ts": time.time()}, f)
-        os.replace(tmp, path)  # atomic vs concurrent writers
+        os.replace(fd.name, path)  # atomic vs concurrent writers
     except Exception:  # pragma: no cover - teardown / unwritable tmp
         pass
 

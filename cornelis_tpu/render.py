@@ -36,6 +36,7 @@ in ~2 s).
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -165,13 +166,33 @@ class _CompletionTracker:
                 # device finished in ~4 (round-4 gallery-render regression,
                 # fixed here). When chunks complete slower than the probe
                 # round-trip the batch size is 1 and per-chunk granularity
-                # is preserved.
+                # is preserved. The FIFO assumption is per device stream --
+                # it covers mixed XLA and Pallas executables on THIS
+                # transport (measured); a runtime that reorders streams
+                # would over-credit progress. CORNELIS_DEBUG_FIFO_PROBES=1
+                # turns on a per-batch spot check of that assumption.
                 batch = []
                 while self._pending and self._pending[0] is not None:
                     batch.append(self._pending.pop(0))
             probe = batch[-1][1]
             try:
                 float(np.asarray(probe))  # blocks until the device is done
+                if len(batch) > 1 and os.environ.get(
+                    "CORNELIS_DEBUG_FIFO_PROBES"
+                ):
+                    # Debug mode: the FIFO premise says the OLDEST probe in
+                    # the batch must also be done by now. is_ready() is a
+                    # non-blocking runtime query where available; fall back
+                    # to a timed fetch (near-instant when FIFO holds).
+                    oldest = batch[0][1]
+                    ready = getattr(oldest, "is_ready", None)
+                    if ready is not None and not ready():
+                        logger.warning(
+                            "FIFO probe assumption violated: newest probe "
+                            "resolved before the oldest of %d queued chunks "
+                            "-- completion credits may over-report",
+                            len(batch),
+                        )
             except Exception as exc:  # pragma: no cover - device failure
                 with self._lock:
                     self._error = exc

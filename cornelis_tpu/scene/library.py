@@ -120,21 +120,29 @@ def cornell_panel() -> SceneDescription:
     area-sampled with MIS, so `--integrator nee` converges as fast here
     as the sphere-lit original."""
     scene = cornell_box()
-    # Drop the sphere light (first sphere) and replace the light material's
-    # power with the matched-panel value.
-    scene.spheres = [s for s in scene.spheres if s.material != 5]
+    # Locate the light material by its emission rather than hardcoding its
+    # index -- a reordering inside cornell_box would otherwise silently
+    # attach the panel to the wrong material (advisor finding, round 4).
+    emitters = [
+        i for i, m in enumerate(scene.materials) if any(c > 0.0 for c in m.emissive)
+    ]
+    assert len(emitters) == 1, f"cornell_box grew {len(emitters)} emitters"
+    light = emitters[0]
+    # Drop the sphere light and replace the light material's power with the
+    # matched-panel value.
+    scene.spheres = [s for s in scene.spheres if s.material != light]
     import math
 
     side = 555.0
     panel = 185.0
     le = 15.0 * 4.0 * math.pi * 60.0**2 / panel**2
-    scene.materials[5].emissive = (le, le, le)
+    scene.materials[light].emissive = (le, le, le)
     scene.add_plane(
         PlaneDescription(
             normal=(0.0, -1.0, 0.0),
             point=(0.0, side - 1.0, 0.0),
             extents=(panel, panel, 0.0),
-            material=5,
+            material=light,
         )
     )
     return scene
