@@ -101,6 +101,7 @@ def make_loss(
     max_depth: int = 8,
     key_strategy: str = "dual",
     weight: Array | None = None,
+    mode: str = "path",
 ):
     """MSE-vs-target loss over unconstrained params.
 
@@ -115,6 +116,14 @@ def make_loss(
       * "fixed": one key forever -- deterministic optimization of a fixed
         MC estimate; exact gradients, but overfits that noise realization
         (fine when the target was rendered with the same key).
+
+    mode: forwarded to render_diff -- "nee" optimizes against the
+    next-event-estimation estimator (detached light sampling), whose
+    gradient variance at equal spp is far below path mode's for
+    small-emitter scenes (round-5 measurement in PERF.md 2b). Note the
+    two modes converge to slightly different images (the path mode
+    replicates the reference's quirk pdf, README "estimator-mean
+    offset"), so the target should be rendered with the SAME mode.
 
     weight: optional (H, W) or (H, W, 1/3) per-pixel loss weight. The
     essential use: targets recovered from 8-BIT IMAGES clip at 1.0, but
@@ -137,7 +146,13 @@ def make_loss(
 
     def _render(scene, key):
         return render_diff(
-            scene, key, width=width, height=height, spp=spp, max_depth=max_depth
+            scene,
+            key,
+            width=width,
+            height=height,
+            spp=spp,
+            max_depth=max_depth,
+            mode=mode,
         )
 
     def _mse(prod: Array) -> Array:
@@ -181,6 +196,7 @@ class InverseRenderer:
         seed: int = 0,
         key_strategy: str = "dual",
         weight: Array | None = None,
+        mode: str = "path",
     ):
         self.base_scene = scene
         self.optimizer = optax.adam(learning_rate)
@@ -200,6 +216,7 @@ class InverseRenderer:
             max_depth=max_depth,
             key_strategy=key_strategy,
             weight=weight,
+            mode=mode,
         )
         fixed = key_strategy == "fixed"
 

@@ -30,7 +30,8 @@ Array = jnp.ndarray
 
 
 @partial(
-    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "detach")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "detach", "mode"),
 )
 def render_diff(
     scene: SceneArrays,
@@ -41,6 +42,7 @@ def render_diff(
     spp: int,
     max_depth: int = 8,
     detach: bool = True,
+    mode: str = "path",
 ) -> Array:
     """Differentiable render: (H, W, 3) radiance *means* over spp.
 
@@ -51,10 +53,18 @@ def render_diff(
     are low-variance (common random numbers).
 
     detach=False switches to the fully-attached pathwise estimator
-    (gradients also flow through the GGX inverse-CDF sampler and pdfs).
-    Higher variance, but its gradient matches finite differences of this
-    very function exactly -- used by the FD test suite; detached is the
+    (gradients also flow through the GGX inverse-CDF sampler and pdfs --
+    and in nee mode through the cone/area light sampling). Higher
+    variance, but its gradient matches finite differences of this very
+    function exactly -- used by the FD test suite; detached is the
     production default.
+
+    mode="nee" (round 5) differentiates the next-event-estimation
+    estimator: detached light sampling (stop_gradient on the sampled
+    light direction/distance/density), gradients through the BRDF,
+    emission, cosine, and MIS weights (integrator._bounce). Same ~65x
+    stochastic-variance win the forward path measured (README equal-time
+    table), now available to inverse rendering.
     """
     num_pixels = width * height
     pixel_ids = jnp.arange(num_pixels, dtype=jnp.uint32)
@@ -70,5 +80,6 @@ def render_diff(
         max_depth=max_depth,
         unroll_bounces=True,
         detach_sampling=detach,
+        mode=mode,
     )
     return sums.reshape(height, width, 3) / spp

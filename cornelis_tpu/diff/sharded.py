@@ -36,11 +36,18 @@ def make_sharded_train_step(
     height: int,
     spp: int,
     max_depth: int = 8,
+    mode: str = "path",
+    detach: bool = True,
 ):
     """Build a jitted (params, opt_state, key) -> (params, opt_state, loss)
     step whose forward render runs as a shard_map over `mesh`.
 
     Dual-buffer loss (see inverse.make_loss) with both renders sharded.
+    mode="nee" shards the next-event-estimation estimator (round 5);
+    detach=True (default) uses the production detached-sampling estimator,
+    matching the single-device render_diff (rounds <= 4 differentiated the
+    fully-attached estimator here -- higher-variance gradients for no
+    benefit outside FD tests).
     """
 
     def render(scene, key):
@@ -55,6 +62,8 @@ def make_sharded_train_step(
             spp_total=spp,
             max_depth=max_depth,
             unroll_bounces=True,
+            mode=mode,
+            detach_sampling=detach,
         )
         return img / spp
 

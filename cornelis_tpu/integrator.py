@@ -502,6 +502,19 @@ def _bounce(
         wi_l, t_light, pdf_l, light_le, valid_l = _sample_light(
             scene, hit.position, u[:, 4], u[:, 5], u[:, 6]
         )
+        if detach_sampling:
+            # Detached NEE (round 5): the light-sample direction, distance,
+            # and selection x solid-angle density are SAMPLER outputs --
+            # stop_gradient them so parameter gradients flow only through
+            # the integrand factors f_l, L_e, cos_l, and the MIS weights
+            # (visibility is boolean, no gradient by construction). Without
+            # this, gradients also flow through the cone/area-sampling
+            # reparameterization, which is exactly the high-variance term
+            # detached sampling exists to drop (diff/render.py docstring).
+            sg = jax.lax.stop_gradient
+            wi_l = Vec3(sg(wi_l.x), sg(wi_l.y), sg(wi_l.z))
+            t_light = sg(t_light)
+            pdf_l = sg(pdf_l)
         cos_l = dot(wi_l, hit.normal)
         shadow_origin = hit.position + wi_l * BOUNCE_EPSILON
         # ANY-hit test (geometry.occluded): the shadow ray only needs a

@@ -57,6 +57,7 @@ def _check_divisible(value: int, by: int, what: str) -> None:
         "tile_size",
         "mode",
         "nee_clamp",
+        "detach_sampling",
     ),
 )
 def render_chunk_mesh(
@@ -75,6 +76,7 @@ def render_chunk_mesh(
     tile_size: int = 32,
     mode: str = "path",
     nee_clamp=None,
+    detach_sampling: bool = False,
 ) -> Array:
     """Render one sample chunk over the mesh; returns (H, W, 3) radiance
     sums, identical (modulo float reduction order when spp is sharded) to
@@ -117,6 +119,7 @@ def render_chunk_mesh(
             sampler=sampler,
             mode=mode,
             nee_clamp=nee_clamp,
+            detach_sampling=detach_sampling,
         )
         if n_samp > 1:
             part = jax.lax.psum(part, SAMPLE_AXIS)

@@ -42,20 +42,27 @@ FLOAT_FIELDS = (
 )
 
 
-def _mean_intensity(scene, key, detach=True):
+def _mean_intensity(scene, key, detach=True, mode="path"):
     img = render_diff(
-        scene, key, width=W, height=H, spp=SPP, max_depth=DEPTH, detach=detach
+        scene,
+        key,
+        width=W,
+        height=H,
+        spp=SPP,
+        max_depth=DEPTH,
+        detach=detach,
+        mode=mode,
     )
     return jnp.mean(img)
 
 
-def _grad_wrt_floats(scene, key, detach=True):
+def _grad_wrt_floats(scene, key, detach=True, mode="path"):
     """Gradient over the float scene fields only (material ids are int32 and
     non-differentiable by construction)."""
     fields = {f: getattr(scene, f) for f in FLOAT_FIELDS}
 
     def fn(fields):
-        return _mean_intensity(scene._replace(**fields), key, detach)
+        return _mean_intensity(scene._replace(**fields), key, detach, mode)
 
     return jax.grad(fn)(fields)
 
@@ -66,7 +73,16 @@ class TestFiniteDifference:
     float32 noise, not MC noise)."""
 
     def _check_field(
-        self, scene, field, component, index, eps, rtol, atol=2e-4, detach=True
+        self,
+        scene,
+        field,
+        component,
+        index,
+        eps,
+        rtol,
+        atol=2e-4,
+        detach=True,
+        mode="path",
     ):
         key = jax.random.key(5)
 
@@ -80,7 +96,7 @@ class TestFiniteDifference:
                 )
             return scene._replace(**{field: new})
 
-        grads = _grad_wrt_floats(scene, key, detach)
+        grads = _grad_wrt_floats(scene, key, detach, mode)
         g_struct = grads[field]
         g = (
             g_struct[index]
@@ -88,8 +104,8 @@ class TestFiniteDifference:
             else getattr(g_struct, component)[index]
         )
 
-        f_plus = _mean_intensity(perturbed(+eps), key, detach)
-        f_minus = _mean_intensity(perturbed(-eps), key, detach)
+        f_plus = _mean_intensity(perturbed(+eps), key, detach, mode)
+        f_minus = _mean_intensity(perturbed(-eps), key, detach, mode)
         fd = (f_plus - f_minus) / (2 * eps)
         assert np.isfinite(float(g)), f"grad not finite for {field}"
         np.testing.assert_allclose(float(g), float(fd), rtol=rtol, atol=atol)
@@ -123,6 +139,84 @@ class TestFiniteDifference:
         # Geometry gradient (interior shading term only; silhouettes are
         # discontinuous and excluded by the mean over many pixels).
         self._check_field(scene, "sphere_radius", None, 0, eps=1e-3, rtol=0.25, atol=2e-3)
+
+
+class TestNeeGradients:
+    """Differentiable NEE (round 5, VERDICT r4 #2): the diff mode can now
+    use the low-variance next-event estimator. Detached light sampling --
+    the sampled light direction/distance/density are stop_gradiented,
+    gradients flow through the BRDF, emission, cosine, and MIS weights
+    (integrator._bounce)."""
+
+    def test_albedo_fd(self, scene):
+        # Albedo does not steer any sampler except through the (detached)
+        # RR probability, so the detached NEE gradient matches FD to the
+        # same tolerance as path mode.
+        self._check = TestFiniteDifference._check_field
+        self._check(
+            self, scene, "mat_albedo", "x", 1, eps=1e-2, rtol=0.05, mode="nee"
+        )
+
+    def test_emission_fd(self, scene):
+        # Emission enters the NEE term through light_le AND the MIS weights
+        # (via the light-selection pdf: Cornell has one emitter, so the
+        # selection is constant and the FD is clean).
+        emissive = int(np.argmax(np.asarray(scene.mat_emission.x)))
+        self._check = TestFiniteDifference._check_field
+        self._check(
+            self,
+            scene,
+            "mat_emission",
+            "x",
+            emissive,
+            eps=1e-2,
+            rtol=0.05,
+            mode="nee",
+        )
+
+    def test_roughness_fd_attached(self, scene):
+        # Fully-attached NEE estimator (detach=False): gradients flow
+        # through the GGX inverse-CDF AND the light sampling, so the grad
+        # must equal FD of this exact function (same eps rationale as the
+        # path-mode twin above).
+        self._check = TestFiniteDifference._check_field
+        self._check(
+            self,
+            scene,
+            "mat_roughness",
+            None,
+            1,
+            eps=2e-4,
+            rtol=0.05,
+            atol=5e-4,
+            detach=False,
+            mode="nee",
+        )
+
+    def test_grads_flow_and_finite(self, scene):
+        grads = _grad_wrt_floats(scene, jax.random.key(1), mode="nee")
+        assert float(jnp.abs(grads["mat_albedo"].x).sum()) > 0
+        assert float(jnp.abs(grads["mat_emission"].x).sum()) > 0
+        assert float(jnp.abs(grads["mat_roughness"]).sum()) > 0
+        for leaf in jax.tree.leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf))), "NaN/inf in grads"
+
+    def test_nee_gradient_variance_below_path(self, scene):
+        # The whole point: at equal spp, NEE's albedo gradient over
+        # independent keys has (much) lower empirical variance than path
+        # mode's on the small-emitter Cornell scene. A loose 2x bound --
+        # the measured ratio is far larger (PERF.md 2b) -- keeps the test
+        # noise-proof.
+        def grad_samples(mode, n=6):
+            gs = []
+            for s in range(n):
+                g = _grad_wrt_floats(scene, jax.random.key(100 + s), mode=mode)
+                gs.append(float(g["mat_albedo"].x[1]))
+            return np.asarray(gs)
+
+        v_path = grad_samples("path").var()
+        v_nee = grad_samples("nee").var()
+        assert v_nee < v_path / 2.0, (v_path, v_nee)
 
 
 class TestGradientSanity:
