@@ -197,11 +197,25 @@ def _light_probs(scene: SceneArrays):
     return w / jnp.where(has_light, total, 1.0), has_light
 
 
+def _grad_safe_sqrt(x: Array) -> Array:
+    """sqrt(max(x, 0)) with a FINITE gradient at the boundary.
+
+    d/dx sqrt(x) -> inf as x -> 0+, and reverse-mode turns the masked
+    inf * 0 into NaN -- the fully-attached NEE estimator (detach=False FD
+    tests) hits exactly that when a cone draw lands on cos_t = 1 or a
+    query point grazes d = r. Forward values are bit-identical to
+    jnp.sqrt(jnp.maximum(x, 0.0)) for every reachable x (the branches
+    differ only on 0 < x < 1e-20, below any reachable f32 product here);
+    the backward sees sqrt(max(x, 1e-20)) whose gradient saturates to 0
+    at the boundary instead of inf."""
+    return jnp.where(x > 0.0, jnp.sqrt(jnp.maximum(x, 1e-20)), 0.0)
+
+
 def _cone_pdf(d2: Array, radius: Array) -> Array:
     """Uniform-cone solid-angle density toward a sphere at squared
     distance d2 (0 where the query point is inside the sphere)."""
     sin2max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+    cos_max = _grad_safe_sqrt(1.0 - sin2max)
     one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
     pdf = 1.0 / (2.0 * PI * one_minus)
     outside = d2 > (radius * radius) * (1.0001**2)
@@ -327,11 +341,11 @@ def _sample_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
         outside = d > radius * 1.0001
 
         sin2max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2max, 0.0))
+        cos_max = _grad_safe_sqrt(1.0 - sin2max)
         one_minus = jnp.maximum(1.0 - cos_max, 1e-9)
 
         cos_t = 1.0 - u1 * one_minus
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        sin_t = _grad_safe_sqrt(1.0 - cos_t * cos_t)
         phi = 2.0 * PI * u2
 
         axis = Vec3(to_c.x / d, to_c.y / d, to_c.z / d)
@@ -342,8 +356,8 @@ def _sample_light(scene: SceneArrays, p: Vec3, u_sel, u1, u2):
             + basis.n * cos_t
         )
         # Hit distance along wi (the near root of the sphere quadratic).
-        t_s = d * cos_t - jnp.sqrt(
-            jnp.maximum(radius * radius - d2 * (1.0 - cos_t * cos_t), 0.0)
+        t_s = d * cos_t - _grad_safe_sqrt(
+            radius * radius - d2 * (1.0 - cos_t * cos_t)
         )
         pdf_s = p_sel / (2.0 * PI * one_minus)
         valid_s = outside & (t_s > 0.0)

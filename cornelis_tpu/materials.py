@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .math.vec import (
@@ -64,10 +65,47 @@ class MaterialParams(NamedTuple):
     ior: Array
 
 
+@jax.custom_vjp
+def _take_rows(table: Array, ids: Array) -> Array:
+    """jnp.take with a matmul transpose (diff-mode backward hot fix).
+
+    The standard VJP of a gather is a scatter-add of N ray cotangents
+    into M table slots; XLA's TPU scatter lowering made that THE backward
+    bottleneck of the differentiable renderer -- round-5 measurement
+    (PERF.md 2b, 128^2 x 32 spp x depth 8 value_and_grad train step on
+    the v5e): 27x backward/forward with scatter transposes, 2.4x with
+    this rule, a 7.1x end-to-end step speedup from this change alone.
+    The backward instead builds the (N, M) one-hot of `ids` and reduces
+    cotangents with a dense matmul (MXU work, exact: each column sums
+    the identical float terms the scatter would have added, modulo
+    addition order). The forward is UNCHANGED jnp.take -- zero cost and
+    bitwise identity for every non-diff render path."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_rows_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _take_rows_bwd(res, ct):
+    import numpy as np
+
+    ids, n = res
+    onehot = (
+        ids[:, None] == jnp.arange(n, dtype=ids.dtype)[None, :]
+    ).astype(ct.dtype)
+    # int ids carry no gradient: float0 cotangent by JAX convention.
+    return ct @ onehot, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def gather_materials(scene, material_ids: Array) -> MaterialParams:
     """Gather material rows by per-ray id (replaces scene.materials[id]
-    virtual lookup, Render.cpp:180)."""
-    take = lambda a: jnp.take(a, material_ids, axis=0)
+    virtual lookup, Render.cpp:180). Uses the matmul-transpose gather
+    (_take_rows) so the diff mode's backward never scatters."""
+    take = lambda a: _take_rows(a, material_ids)
     return MaterialParams(
         albedo=RGB(take(scene.mat_albedo.x), take(scene.mat_albedo.y), take(scene.mat_albedo.z)),
         emission=RGB(
