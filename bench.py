@@ -150,7 +150,8 @@ def _measure(
 
 
 def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
-                  max_depth: int = 8) -> dict:
+                  max_depth: int = 8, mode: str = "path",
+                  prefix: str = "diff") -> dict:
     """Differentiable-mode cost at a realistic shape (VERDICT r3 #4).
 
     Times the REAL Adam train step (value_and_grad through the unrolled
@@ -159,7 +160,8 @@ def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
     carries steps/s, forward+backward primary-ray throughput, and the
     backward-over-forward cost ratio. The Pallas megakernel has no VJP --
     diff mode always runs the XLA wavefront (PERF.md 'Differentiable
-    mode'), which is what is measured here.
+    mode'), which is what is measured here. mode="nee" times the round-5
+    differentiable next-event estimator (prefix its fields accordingly).
     """
     import jax
     import jax.numpy as jnp
@@ -171,7 +173,8 @@ def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
 
     scene = compile_scene(cornell_box())
     target = jnp.zeros((height, width, 3), jnp.float32)
-    kw = dict(width=width, height=height, spp=spp, max_depth=max_depth)
+    kw = dict(width=width, height=height, spp=spp, max_depth=max_depth,
+              mode=mode)
 
     inv = InverseRenderer(
         scene, target, fields=("mat_albedo", "mat_roughness"), **kw
@@ -221,12 +224,12 @@ def _measure_diff(width: int = 128, height: int = 128, spp: int = 32,
 
     rays_per_step = width * height * spp * 2  # dual-buffer: 2 renders/step
     return {
-        "diff_shape": f"{width}x{height}x{spp}spp_d{max_depth}",
-        "diff_steps_per_s": round(1.0 / dt_step, 3),
-        "diff_steps_per_s_sync": round(1.0 / dt_step_sync, 3),
-        "diff_fwd_bwd_mrays": round(rays_per_step / dt_step / 1e6, 3),
-        "diff_fwd_mrays": round(rays_per_step / dt_fwd / 1e6, 3),
-        "diff_bwd_over_fwd": round(dt_step / dt_fwd - 1.0, 2),
+        f"{prefix}_shape": f"{width}x{height}x{spp}spp_d{max_depth}",
+        f"{prefix}_steps_per_s": round(1.0 / dt_step, 3),
+        f"{prefix}_steps_per_s_sync": round(1.0 / dt_step_sync, 3),
+        f"{prefix}_fwd_bwd_mrays": round(rays_per_step / dt_step / 1e6, 3),
+        f"{prefix}_fwd_mrays": round(rays_per_step / dt_fwd / 1e6, 3),
+        f"{prefix}_bwd_over_fwd": round(dt_step / dt_fwd - 1.0, 2),
     }
 
 
@@ -355,6 +358,11 @@ def main() -> None:
     }
     if os.environ.get("BENCH_SKIP_DIFF") != "1":
         record.update(_measure_diff())
+        # The round-5 differentiable NEE estimator (same shape): ~1.8x the
+        # step cost of path mode for a measured 7x lower albedo gradient
+        # variance at equal spp on Cornell (tools/r5_inverse.py,
+        # PERF.md 2b) -- ~3.8x net training efficiency.
+        record.update(_measure_diff(mode="nee", prefix="diff_nee"))
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         proxy = _sharding_overhead_proxy()
         if proxy is not None:

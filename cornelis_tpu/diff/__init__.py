@@ -17,7 +17,16 @@ center offset walked AWAY under Adam). Radius passes small-perturbation
 FD checks because its interior shading signal is strong. Closing this
 needs edge-sampling or reparameterized visibility integrands
 (Mitsuba-3-style) -- recorded future work, beyond the reference's
-(non-differentiable) scope."""
+(non-differentiable) scope.
+
+Round 5: every diff entry point takes mode="nee" -- the differentiable
+next-event estimator (detached light sampling; gradients through BRDF,
+emission, cosine, MIS weights) at ~1.8x the step cost of path mode for a
+measured 7x lower albedo-gradient variance at equal spp (PERF.md 2b).
+Targets must be rendered with the SAME mode: the two estimators converge
+to means 0.060 RMS apart (the reference's quirk-pdf bias, README), and
+an optimizer facing a mode-mismatched target absorbs that offset into
+albedo (measured: walls dim by 0.1-0.2)."""
 
 from .inverse import (
     OPTIMIZABLE_FIELDS,
