@@ -192,6 +192,37 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
     return t, p, n, valid
 
 
+def sphere_candidate_t(o: Vec3, d: Vec3, center: Vec3, radius, tmin):
+    """sphere_candidate's (t, valid) ONLY -- the identical op sequence for
+    the root (bitwise-equal t), without materializing the hit position and
+    normal. The megakernel's closest-hit scan (ops/pallas_integrator.
+    _intersect_const) runs this per object and defers p/n/material to ONE
+    post-scan masked fetch of the winning sphere: at 514 objects the
+    per-candidate ray_at + normalize + 6-wide select chain was ~half the
+    scan's VPU work (round-5 measurement, PERF.md section 2)."""
+    rel = o - center
+    deg = _degenerate(d)
+    a = jnp.where(deg, 1.0, mag2(d))
+    b = dot(rel, d)
+    c = mag2(rel)
+
+    u = 2.0 * b / a
+    v = (c - radius * radius) / a
+
+    disc = -v + (u * u) / 4.0
+    has_root = disc >= 0.0
+    shift = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    t0 = -u / 2.0 - shift
+    t1 = -u / 2.0 + shift
+    t0 = jnp.where(t0 < tmin, INF, t0)
+    t1 = jnp.where(t1 < tmin, INF, t1)
+    t = jnp.minimum(t0, t1)
+
+    valid = has_root & ~deg & jnp.isfinite(t)
+    t = jnp.where(valid, t, INF)
+    return t, valid
+
+
 def plane_candidate(
     o: Vec3, d: Vec3, normal: Vec3, point: Vec3, width: Array, height: Array,
     tmin=None,

@@ -74,7 +74,14 @@ class PathState(NamedTuple):
     throughput: RGB
     radiance: RGB
     active: Array
-    depth: Array  # int32 scalar
+    # f32 scalar, NOT int32 (round-5 finding): on the tunneled TPU backend,
+    # an INTEGER counter carried through a jitted lax.fori_loop mis-evaluates
+    # every comparison against a constant inside the body (the depth>0 /
+    # depth<3 selects took the wrong branch on all iterations; integer
+    # VALUES are computed correctly, only comparison predicates break, and
+    # while_loop is unaffected). An f32 carry is the measured-correct
+    # pattern -- tools/fori_counter_bug.py is the minimal reproducer.
+    depth: Array
     streams: RayStreams  # per-ray sampler state
     # True mixture density of the direction sampled at the previous vertex
     # (MIS balance weights in nee mode; carried as 1.0 and ignored in the
@@ -499,7 +506,10 @@ def _bounce(
     num_draws = 8 if nee else 4
     u = stream_uniforms(
         state.streams,
-        STREAM_BOUNCE_BASE + state.depth,
+        # depth rides the loop carry as f32 (PathState.depth); the stream
+        # id is integer arithmetic -- int VALUES from the counter are
+        # exact on every backend (only comparisons miscompile).
+        STREAM_BOUNCE_BASE + state.depth.astype(jnp.int32),
         num_draws,
         sampler,
         index_bits,
@@ -629,7 +639,7 @@ def trace_paths(
         throughput=RGB(ones, ones, ones),
         radiance=RGB(zeros, zeros, zeros),
         active=ones.astype(bool),
-        depth=jnp.zeros((), jnp.int32),
+        depth=jnp.zeros((), jnp.float32),
         streams=keys,
         prev_pdf=ones,
     )
@@ -641,6 +651,17 @@ def trace_paths(
         # backward pass -- measured on the v5e (128^2 x 32 spp, d8
         # value_and_grad): 666 -> 385 ms/step, 1.73x, by recomputing the
         # bounce forward during the backward sweep instead.
+        #
+        # The depth counter rides the carry as f32 (PathState.depth): an
+        # int32 counter here mis-evaluates every comparison on the
+        # tunneled TPU backend (tools/fori_counter_bug.py; it broke RR
+        # young-depth, the NEE depth-0 MIS weight, and the clamp growth
+        # in the jitted diff path -- a direct-emitter pixel rendered
+        # 0.134 instead of 15.0). A trace-time Python loop also fixes it
+        # but compiles max_depth copies of the bounce graph (measured:
+        # 181 s for a depth-4 CPU compile; the d16 train step blew a
+        # 20-minute TPU compile budget). The f32 carry keeps the loop a
+        # loop and is the measured-correct pattern.
         bounce_ckpt = jax.checkpoint(
             lambda sc, s: _bounce(
                 sc, s, detach_sampling, sampler, index_bits, mode, nee_clamp

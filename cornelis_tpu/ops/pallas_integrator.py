@@ -56,7 +56,7 @@ from ..materials import (
     layered_pdf_true,
     layered_sample,
 )
-from ..math.vec import PI, RGB, Vec3, construct_basis, dot
+from ..math.vec import PI, RGB, Vec3, construct_basis, dot, normalize, ray_at
 from ..scene.compile import SceneArrays
 from .threefry import pair_uniforms
 
@@ -410,10 +410,56 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
             jnp.where(closer, sphere_idx, bs),
         )
 
-    state = (best_t, hit_any, bp, bn, bm, bs)
-    for s_idx, (cx, cy, cz, rad, mid) in enumerate(scene.spheres):
-        t, p, n, valid = sphere_candidate(o, d, Vec3(cx, cy, cz), rad, tmin=tmin)
-        state = update(state, (t, p, n, valid, mid), s_idx)
+    # SPHERES: two-phase scan (round 5). Phase 1 tracks only (best_t,
+    # best index) -- sphere_candidate_t is bitwise-equal to
+    # sphere_candidate's root -- and phase 2 materializes the winning
+    # sphere's position/normal/material ONCE via masked constant-FMA
+    # accumulation. The per-candidate ray_at + normalize + 6-wide select
+    # chain this removes was ~half the scan's VPU work at 514 objects
+    # (PERF.md section 2: 21.7 -> 33.5 Mrays/s on sphere_grid(512)).
+    # The index rides in f32 (exact to 2^24; Mosaic prefers f32 vectors).
+    from ..geometry import sphere_candidate_t
+
+    s_best_t = best_t
+    s_best = jnp.full_like(o.x, -1.0)
+    for s_idx, (cx, cy, cz, rad, _mid) in enumerate(scene.spheres):
+        t, valid = sphere_candidate_t(o, d, Vec3(cx, cy, cz), rad, tmin=tmin)
+        closer = valid & (s_best_t > t)
+        s_best_t = jnp.where(closer, t, s_best_t)
+        s_best = jnp.where(closer, float(s_idx), s_best)
+
+    if scene.spheres:
+        sp_hit = s_best >= 0.0
+        g_cx = zero
+        g_cy = zero
+        g_cz = zero
+        g_mid = zero
+        for s_idx, (cx, cy, cz, _rad, mid) in enumerate(scene.spheres):
+            mf = (s_best == float(s_idx)).astype(jnp.float32)
+            g_cx = g_cx + mf * cx
+            g_cy = g_cy + mf * cy
+            g_cz = g_cz + mf * cz
+            g_mid = g_mid + mf * float(mid)
+        p = ray_at(o, d, jnp.where(sp_hit, s_best_t, 0.0))
+        # Mask BEFORE normalize: miss lanes would normalize the zero
+        # vector (p - center = 0) into NaN.
+        rel = Vec3(
+            jnp.where(sp_hit, p.x - g_cx, 1.0),
+            jnp.where(sp_hit, p.y - g_cy, 0.0),
+            jnp.where(sp_hit, p.z - g_cz, 0.0),
+        )
+        n = normalize(rel)
+        sel = lambda a, b: jnp.where(sp_hit, a, b)
+        state = (
+            s_best_t,
+            sp_hit,
+            Vec3(sel(p.x, zero), sel(p.y, zero), sel(p.z, zero)),
+            Vec3(sel(n.x, zero), sel(n.y, zero), sel(n.z, zero)),
+            jnp.where(sp_hit, g_mid, 0.0).astype(jnp.int32),
+            jnp.where(sp_hit, s_best, -1.0).astype(jnp.int32),
+        )
+    else:
+        state = (best_t, hit_any, bp, bn, bm, bs)
     n_sph = len(scene.spheres)
     for p_idx, (nx, ny, nz, px, py, pz, w, h, mid) in enumerate(scene.planes):
         normal = Vec3(nx, ny, nz)
