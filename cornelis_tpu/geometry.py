@@ -192,17 +192,25 @@ def sphere_candidate(o: Vec3, d: Vec3, center: Vec3, radius: Array, tmin=None):
     return t, p, n, valid
 
 
-def sphere_candidate_t(o: Vec3, d: Vec3, center: Vec3, radius, tmin):
+def sphere_candidate_t(o: Vec3, d: Vec3, center: Vec3, radius, tmin, pre=None):
     """sphere_candidate's (t, valid) ONLY -- the identical op sequence for
     the root (bitwise-equal t), without materializing the hit position and
     normal. The megakernel's closest-hit scan (ops/pallas_integrator.
     _intersect_const) runs this per object and defers p/n/material to ONE
     post-scan masked fetch of the winning sphere: at 514 objects the
     per-candidate ray_at + normalize + 6-wide select chain was ~half the
-    scan's VPU work (round-5 measurement, PERF.md section 2)."""
+    scan's VPU work (round-5 measurement, PERF.md section 2).
+
+    `pre` optionally carries the per-RAY quantities (deg, a) hoisted out
+    of a many-object loop -- the same values this function would compute
+    (bitwise-identical results; it only saves recomputation where the
+    lowering's CSE doesn't)."""
+    if pre is None:
+        deg = _degenerate(d)
+        a = jnp.where(deg, 1.0, mag2(d))
+    else:
+        deg, a = pre
     rel = o - center
-    deg = _degenerate(d)
-    a = jnp.where(deg, 1.0, mag2(d))
     b = dot(rel, d)
     c = mag2(rel)
 

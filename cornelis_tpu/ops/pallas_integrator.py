@@ -418,12 +418,21 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
     # chain this removes was ~half the scan's VPU work at 514 objects
     # (PERF.md section 2: 21.7 -> 33.5 Mrays/s on sphere_grid(512)).
     # The index rides in f32 (exact to 2^24; Mosaic prefers f32 vectors).
-    from ..geometry import sphere_candidate_t
+    from ..geometry import _degenerate, sphere_candidate_t
+    from ..math.vec import mag2
+
+    # Per-RAY quantities hoisted out of the unrolled object loop (same
+    # expressions -> bitwise-identical; saves ~8 VPU ops x n_spheres per
+    # bounce where the kernel lowering does not CSE across the unroll).
+    deg = _degenerate(d)
+    a = jnp.where(deg, 1.0, mag2(d))
 
     s_best_t = best_t
     s_best = jnp.full_like(o.x, -1.0)
     for s_idx, (cx, cy, cz, rad, _mid) in enumerate(scene.spheres):
-        t, valid = sphere_candidate_t(o, d, Vec3(cx, cy, cz), rad, tmin=tmin)
+        t, valid = sphere_candidate_t(
+            o, d, Vec3(cx, cy, cz), rad, tmin=tmin, pre=(deg, a)
+        )
         closer = valid & (s_best_t > t)
         s_best_t = jnp.where(closer, t, s_best_t)
         s_best = jnp.where(closer, float(s_idx), s_best)
@@ -488,14 +497,19 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
 def _occluded_const(scene: HostScene, o: Vec3, d: Vec3, t_max):
     """ANY-hit-within-distance over the baked tables (geometry.occluded's
     kernel twin): the NEE shadow ray needs only a boolean, so this skips
-    the position/normal/material/prim best-hit select chain per object."""
-    from ..geometry import min_hit_t
+    the position/normal/material/prim best-hit select chain per object --
+    and (round 5) the per-candidate hit-point/normal math entirely via
+    sphere_candidate_t with the per-ray (deg, a) hoisted."""
+    from ..geometry import _degenerate, min_hit_t, sphere_candidate_t
+    from ..math.vec import mag2
 
     tmin = min_hit_t(o, d)
+    deg = _degenerate(d)
+    a = jnp.where(deg, 1.0, mag2(d))
     occ = jnp.zeros_like(o.x, dtype=bool)
     for cx, cy, cz, rad, _mid in scene.spheres:
-        t, _p, _n, valid = sphere_candidate(
-            o, d, Vec3(cx, cy, cz), rad, tmin=tmin
+        t, valid = sphere_candidate_t(
+            o, d, Vec3(cx, cy, cz), rad, tmin=tmin, pre=(deg, a)
         )
         occ = occ | (valid & (t < t_max))
     for nx, ny, nz, px, py, pz, w, h, _mid in scene.planes:
