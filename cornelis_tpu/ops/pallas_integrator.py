@@ -70,8 +70,14 @@ LANES = 128
 # interleaved A/B (round 3): 32 vs 64 within noise (min 139.9 vs 134.2,
 # medians equal); 32 stands. Re-swept round 4 after the tile-major ray
 # order (best-of-3): 8 -> 169.5, 16 -> 195.5, 32 -> 195.7, 64 -> 185.2;
-# 32 still stands.
-DEFAULT_ROWS = 32
+# 32 still stands. Re-swept round 5 after the two-phase sphere scan
+# (fewer live carries per scan iteration -> less register pressure, and
+# finer blocks sharpen early exit on scan-heavy scenes): Cornell
+# 16 -> 198.7 vs 32 -> 198.5; sphere_grid(64) 16 -> 169.1 vs 32 -> 161;
+# sphere_grid(512) 8 -> 42.9, 16 -> 42.5, 32 -> 38.5 Mrays/s. 16 is now
+# best-or-tied everywhere; 8 helps only the 512-object scene and only
+# within noise.
+DEFAULT_ROWS = 16
 
 
 class HostScene(NamedTuple):
