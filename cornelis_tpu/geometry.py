@@ -441,28 +441,75 @@ def intersect_scene(scene: SceneArrays, o: Vec3, d: Vec3) -> Hit:
     best = _empty_hit(o.x)
     tmin = min_hit_t(o, d)  # per-ray; hoisted out of the object scans
 
-    def sphere_step(best: Hit, params):
-        center_x, center_y, center_z, radius, material, idx = params
-        center = Vec3(center_x, center_y, center_z)
-        t, p, n, valid = sphere_candidate(o, d, center, radius, tmin=tmin)
-        return (
-            _update_closest(best, t, p, n, material, valid, KIND_SPHERE, idx),
-            None,
-        )
+    # SPHERES: two-phase scan (round 5, mirroring the megakernel's
+    # _intersect_const). Phase 1 carries only (best_t, best index) through
+    # a t-only candidate scan -- sphere_candidate_t shares the root's
+    # exact op sequence, so the winning t is bitwise-equal to the old
+    # full-candidate scan. Phase 2 materializes the winning sphere's
+    # position/normal/material ONCE: p/n from the identical t, the
+    # center/material via _take_rows (whose diff-mode transpose is a
+    # matmul reduction, not a scatter). This drops the per-candidate
+    # ray_at + normalize + 7-wide select chain, which was ~half the
+    # scan's work -- on both the forward wavefront and the diff mode's
+    # backward recompute.
+    if scene.num_spheres:
+        from .materials import _take_rows
 
-    best, _ = jax.lax.scan(
-        sphere_step,
-        best,
-        (
-            scene.sphere_center.x,
-            scene.sphere_center.y,
-            scene.sphere_center.z,
-            scene.sphere_radius,
-            scene.sphere_material,
-            jnp.arange(scene.num_spheres, dtype=jnp.int32),
-        ),
-        unroll=True,
-    )
+        deg = _degenerate(d)
+        a = jnp.where(deg, 1.0, mag2(d))
+
+        def sphere_t_step(carry, params):
+            best_t, best_idx = carry
+            cx, cy, cz, radius, idx = params
+            t, valid = sphere_candidate_t(
+                o, d, Vec3(cx, cy, cz), radius, tmin, pre=(deg, a)
+            )
+            closer = valid & (best_t > t)
+            return (
+                jnp.where(closer, t, best_t),
+                jnp.where(closer, idx, best_idx),
+            ), None
+
+        (s_t, s_idx), _ = jax.lax.scan(
+            sphere_t_step,
+            (best.t, best.prim),
+            (
+                scene.sphere_center.x,
+                scene.sphere_center.y,
+                scene.sphere_center.z,
+                scene.sphere_radius,
+                jnp.arange(scene.num_spheres, dtype=jnp.int32),
+            ),
+            unroll=True,
+        )
+        sp_hit = s_idx >= 0
+        gi = jnp.maximum(s_idx, 0)
+        g_cx = _take_rows(scene.sphere_center.x, gi)
+        g_cy = _take_rows(scene.sphere_center.y, gi)
+        g_cz = _take_rows(scene.sphere_center.z, gi)
+        g_mat = jnp.take(scene.sphere_material, gi)  # int: no gradient path
+        p = ray_at(o, d, jnp.where(sp_hit, s_t, 0.0))
+        # Mask BEFORE normalize: miss lanes would otherwise normalize a
+        # zero vector into NaN.
+        rel = Vec3(
+            jnp.where(sp_hit, p.x - g_cx, 1.0),
+            jnp.where(sp_hit, p.y - g_cy, 0.0),
+            jnp.where(sp_hit, p.z - g_cz, 0.0),
+        )
+        n = normalize(rel)
+        zero = jnp.zeros_like(o.x)
+        sel = lambda x: jnp.where(sp_hit, x, zero)
+        best = Hit(
+            t=s_t,
+            position=Vec3(sel(p.x), sel(p.y), sel(p.z)),
+            normal=Vec3(sel(n.x), sel(n.y), sel(n.z)),
+            material=jnp.where(sp_hit, g_mat, 0),
+            hit=sp_hit,
+            kind=jnp.where(
+                sp_hit, KIND_SPHERE, jnp.full_like(best.kind, KIND_NONE)
+            ),
+            prim=s_idx,
+        )
 
     def plane_step(best: Hit, params):
         nx, ny, nz, px, py, pz, width, height, material, idx = params
@@ -540,11 +587,13 @@ def occluded(scene: SceneArrays, o: Vec3, d: Vec3, t_max) -> "Array":
     shape = o.x.shape
     occ = jnp.zeros(shape, bool)
     tmin = min_hit_t(o, d)
+    deg = _degenerate(d)
+    a = jnp.where(deg, 1.0, mag2(d))
 
     def sphere_step(occ, params):
         cx, cy, cz, radius = params
-        t, _p, _n, valid = sphere_candidate(
-            o, d, Vec3(cx, cy, cz), radius, tmin=tmin
+        t, valid = sphere_candidate_t(
+            o, d, Vec3(cx, cy, cz), radius, tmin, pre=(deg, a)
         )
         return occ | (valid & (t < t_max)), None
 
