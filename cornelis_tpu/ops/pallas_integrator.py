@@ -454,7 +454,11 @@ def _intersect_const(scene: HostScene, o: Vec3, d: Vec3, active=None):
             g_cx = g_cx + mf * cx
             g_cy = g_cy + mf * cy
             g_cz = g_cz + mf * cz
-            g_mid = g_mid + mf * float(mid)
+            # mid * 1.0, not float(mid): the dynamic-scene kernel
+            # (pallas_dynamic.py) feeds TRACED scalars through this same
+            # scan, and float() rejects tracers (identical value either
+            # way for baked int literals).
+            g_mid = g_mid + mf * (mid * 1.0)
         p = ray_at(o, d, jnp.where(sp_hit, s_best_t, 0.0))
         # Mask BEFORE normalize: miss lanes would normalize the zero
         # vector (p - center = 0) into NaN.
