@@ -114,7 +114,7 @@ def _read_tables(sph_ref, pln_ref, mat_ref, n_spheres, n_planes, n_materials):
     )
 
 
-def _light_rows_dyn(pseudo: HostScene, n_materials: int):
+def _light_rows_dyn(pseudo: HostScene):
     """The NEE light-selection table from TRACED scalars -- the dynamic
     twin of pallas_integrator._light_table, built in-kernel so emission or
     geometry edits re-weight the selection with no recompile. Every
@@ -213,7 +213,7 @@ def _make_kernel_dyn(
         )
         nee = mode == "nee"
         if nee:
-            lights = _light_rows_dyn(pseudo, n_materials)
+            lights = _light_rows_dyn(pseudo)
             clamp_val = _clamp_base_dyn(pseudo)
             has_sph = n_spheres > 0
             has_pln = n_planes > 0
